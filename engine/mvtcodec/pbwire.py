@@ -1,0 +1,182 @@
+"""Hand-rolled protobuf wire codec for the MVT ``Tile`` message.
+
+The sandbox has no ``google.protobuf``; this module implements exactly the
+subset of proto2 wire format the MVT schema needs, with field numbers taken
+from /root/reference/internal/spec/vector_tile.proto:
+
+- Tile.layers = 3 (LEN)                               (proto:75)
+- Layer: name=1 (LEN), features=2 (LEN), keys=3 (LEN), values=4 (LEN),
+  extent=5 (VARINT), version=15 (VARINT)              (proto:55-70)
+- Feature: id=1 (VARINT), tags=2 (packed LEN), type=3 (VARINT),
+  geometry=4 (packed LEN)                             (proto:32-46)
+- Value arms: string=1 (LEN), float=2 (I32), double=3 (I64), int=4 (VARINT),
+  uint=5 (VARINT), sint=6 (VARINT zigzag64), bool=7 (VARINT)  (proto:19-25)
+
+Fields are emitted in field-number order (Go protobuf's canonical order).
+
+Divergence from the reference, documented per SURVEY.md §7.6: the reference's
+``mvt.Marshal`` never sets ``Feature.Type`` (marshal.go:163-171 only assigns
+``feature.Geometry``), which makes its own ``mvt.Unmarshal`` reject its
+output ("missing geometry type", unmarshal.go:133-138). We always emit the
+type field so tiles are self-describing and spec-compliant.
+
+The varint writer is vectorized: an entire array of values is encoded in
+<=10 numpy passes regardless of length (no per-value Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WT_VARINT = 0
+WT_I64 = 1
+WT_LEN = 2
+WT_I32 = 5
+
+
+def tag(field: int, wire_type: int) -> bytes:
+    return varint((field << 3) | wire_type)
+
+
+def varint(value: int) -> bytes:
+    """Scalar LEB128 varint (unsigned, up to 64 bits)."""
+    value &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def varint_array(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encoding of a uint64 array into one byte string."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lens = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        lens += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(lens.max())):
+        mask = lens > j
+        chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[mask] > j + 1).astype(np.uint8) << np.uint8(7)
+        out[starts[mask] + j] = chunk | cont
+    return out.tobytes()
+
+
+def varint_array_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length each value would occupy as a varint (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lens = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        lens += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    return lens
+
+
+def len_delimited(field: int, payload: bytes) -> bytes:
+    return tag(field, WT_LEN) + varint(len(payload)) + payload
+
+
+def packed_uint32(field: int, words: np.ndarray) -> bytes:
+    """Packed repeated uint32 field (e.g. Feature.tags/geometry)."""
+    if len(words) == 0:
+        return b""
+    return len_delimited(field, varint_array(np.asarray(words, dtype=np.uint64)))
+
+
+def zigzag64(value: int) -> int:
+    return (value << 1) ^ (value >> 63) if value >= 0 else ((-value) << 1) - 1
+
+
+def unzigzag64(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+# ---------------------------------------------------------------- reader --
+
+
+class Reader:
+    """Cursor-based wire reader (verification/decode path)."""
+
+    def __init__(self, data: bytes, start: int = 0, end: int | None = None):
+        self.data = data
+        self.pos = start
+        self.end = len(data) if end is None else end
+
+    def at_end(self) -> bool:
+        return self.pos >= self.end
+
+    def read_varint(self) -> int:
+        result = 0
+        shift = 0
+        while True:
+            if self.pos >= self.end:
+                raise ValueError("truncated varint")
+            b = self.data[self.pos]
+            self.pos += 1
+            result |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return result
+            shift += 7
+            if shift >= 70:
+                raise ValueError("varint too long")
+
+    def read_tag(self) -> tuple[int, int]:
+        t = self.read_varint()
+        return t >> 3, t & 0x7
+
+    def read_len(self) -> tuple[int, int]:
+        """Return (start, end) of a length-delimited payload and skip it."""
+        n = self.read_varint()
+        start = self.pos
+        if start + n > self.end:
+            raise ValueError("truncated length-delimited field")
+        self.pos = start + n
+        return start, start + n
+
+    def read_bytes(self) -> bytes:
+        s, e = self.read_len()
+        return self.data[s:e]
+
+    def read_i32(self) -> bytes:
+        if self.pos + 4 > self.end:
+            raise ValueError("truncated fixed32")
+        b = self.data[self.pos : self.pos + 4]
+        self.pos += 4
+        return b
+
+    def read_i64(self) -> bytes:
+        if self.pos + 8 > self.end:
+            raise ValueError("truncated fixed64")
+        b = self.data[self.pos : self.pos + 8]
+        self.pos += 8
+        return b
+
+    def skip(self, wire_type: int) -> None:
+        if wire_type == WT_VARINT:
+            self.read_varint()
+        elif wire_type == WT_I64:
+            self.read_i64()
+        elif wire_type == WT_LEN:
+            self.read_len()
+        elif wire_type == WT_I32:
+            self.read_i32()
+        else:
+            raise ValueError(f"unsupported wire type {wire_type}")
+
+    def read_packed_uint32(self) -> np.ndarray:
+        s, e = self.read_len()
+        out = []
+        saved_pos, saved_end = self.pos, self.end
+        self.pos, self.end = s, e
+        while self.pos < e:
+            out.append(self.read_varint())
+        self.pos, self.end = saved_pos, saved_end
+        return np.asarray(out, dtype=np.uint32)
