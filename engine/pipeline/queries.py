@@ -1,0 +1,394 @@
+"""Query registry: every operator exposed through __spark_entry__.py.
+
+Each entry is a (spark_fn, oracle_sql) pair. The Spark side is DataFrame
+API; the oracle is self-contained DuckDB SQL over the pre-registered views
+(documents, lineitem, orders, customer, events, embeddings, ...), deriving
+pages/geotagged/polygons inside CTEs from the SAME closed-form rules
+(engine.pipeline.fixtures), so value hashes match exactly.
+
+Column-name contract: every computed column is aliased identically on both
+sides (driver compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import fixtures, index, joins, tiler
+
+
+def _geotagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
+
+
+def _spatial_ctes(sf_dir: str, want_edges: bool = False, want_centers: bool = False) -> str:
+    n = fixtures.poly_count_for(sf_dir)
+    parts = [fixtures.pages_cte(sf_dir), fixtures.geotag_cte()]
+    if want_edges:
+        parts.append(fixtures.polygon_edges_cte(n))
+    if want_centers:
+        parts.append(fixtures.polygon_centers_cte(n))
+    return ", ".join(parts)
+
+
+# --------------------------------------------------------------- spatial --
+
+def q_geotag(spark, sf_dir):
+    """B2+B3: deterministic geotag; text passthrough invariant checked via
+    sha2(text) so byte-identity per url is part of the compared hash."""
+    return _geotagged(spark, sf_dir).selectExpr(
+        "url", "lat", "lon", "sha2(text, 256) as text_sha"
+    )
+
+
+def q_geotag_sql(sf_dir):
+    return (
+        f"WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()} "
+        "SELECT url, lat, lon, sha256(text) AS text_sha FROM geotagged"
+    )
+
+
+def q_tile_assign(spark, sf_dir):
+    """B5: z/x/y assignment at z=12 per page."""
+    df = index.with_unit(_geotagged(spark, sf_dir))
+    df = df.withColumn("x", F.expr(index.tile_expr("u", "12", False)))
+    df = df.withColumn("y", F.expr(index.tile_expr("v", "12", False)))
+    return df.select("url", "x", "y")
+
+
+def q_tile_assign_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()}
+SELECT url,
+       {index.tile_expr(u, '12', True)} AS x,
+       {index.tile_expr(v, '12', True)} AS y
+FROM geotagged"""
+
+
+def q_tile_counts(spark, sf_dir):
+    """B5+B13: the z0-z14 pyramid as a 15-level rollup of page counts."""
+    df = index.with_tiles(index.with_unit(_geotagged(spark, sf_dir)), 0, 14)
+    return df.groupBy("z", "x", "y").agg(F.count("*").alias("n_pages"))
+
+
+def q_tile_counts_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+zoomed AS (
+  SELECT g.url, z.z, {index.tile_expr(u, 'z.z', True)} AS x,
+         {index.tile_expr(v, 'z.z', True)} AS y
+  FROM geotagged g CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS z) z)
+SELECT z, x, y, COUNT(*) AS n_pages FROM zoomed GROUP BY z, x, y"""
+
+
+def q_pyramid_rollup(spark, sf_dir):
+    """per-zoom summary: tiles touched + features (grouping-sets analog)."""
+    df = index.with_tiles(index.with_unit(_geotagged(spark, sf_dir)), 0, 14)
+    return df.groupBy("z").agg(
+        F.countDistinct("x", "y").alias("n_tiles"),
+        F.count("*").alias("n_features"),
+    )
+
+
+def q_pyramid_rollup_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+zoomed AS (
+  SELECT g.url, z.z, {index.tile_expr(u, 'z.z', True)} AS x,
+         {index.tile_expr(v, 'z.z', True)} AS y
+  FROM geotagged g CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS z) z)
+SELECT z, COUNT(DISTINCT (x, y)) AS n_tiles, COUNT(*) AS n_features
+FROM zoomed GROUP BY z"""
+
+
+def q_cell_index(spark, sf_dir):
+    """B6: Morton cell id at the bucketing zoom, pure bit math."""
+    df = index.with_cell(index.with_unit(_geotagged(spark, sf_dir)))
+    return df.select("url", "cell")
+
+
+def q_cell_index_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    z = index.CELL_Z
+    n = 1 << z
+    cx = f"least(CAST({n} AS BIGINT) - 1, greatest(CAST(0 AS BIGINT), CAST(floor(({u}) * {n}) AS BIGINT)))"
+    cy = f"least(CAST({n} AS BIGINT) - 1, greatest(CAST(0 AS BIGINT), CAST(floor(({v}) * {n}) AS BIGINT)))"
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()}
+SELECT url, {index.cell_expr(z, f'({cx})', f'({cy})', 'duckdb')} AS cell
+FROM geotagged"""
+
+
+def q_pip_join(spark, sf_dir):
+    """B8: point-in-polygon join (bbox prefilter + crossing parity)."""
+    return joins.pip_join(
+        _geotagged(spark, sf_dir), fixtures.polygon_edges_df(spark, sf_dir)
+    )
+
+
+def q_pip_join_sql(sf_dir):
+    return joins.pip_oracle_sql(_spatial_ctes(sf_dir, want_edges=True))
+
+
+def q_pip_counts(spark, sf_dir):
+    """pages-per-polygon aggregate over the PIP join."""
+    return (
+        q_pip_join(spark, sf_dir)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def q_pip_counts_sql(sf_dir):
+    return (
+        f"WITH pip AS ({joins.pip_oracle_sql(_spatial_ctes(sf_dir, want_edges=True))}) "
+        "SELECT poly_id, COUNT(*) AS n_pages FROM pip GROUP BY poly_id"
+    )
+
+
+def q_knn(spark, sf_dir):
+    """B9: 3 nearest polygon centers per page (deterministic ties)."""
+    return joins.knn_join(
+        _geotagged(spark, sf_dir), fixtures.polygon_centers_df(spark, sf_dir), k=3
+    )
+
+
+def q_knn_sql(sf_dir):
+    return joins.knn_oracle_sql(_spatial_ctes(sf_dir, want_centers=True), k=3)
+
+
+def q_raster_counts(spark, sf_dir):
+    """B10: vector->raster — page counts on a 64x64 raster grid over the
+    unit square, pure integer math."""
+    df = index.with_unit(_geotagged(spark, sf_dir))
+    df = df.selectExpr(
+        "least(63, greatest(0, cast(floor(v * 64) as bigint))) as grid_row",
+        "least(63, greatest(0, cast(floor(u * 64) as bigint))) as grid_col",
+    )
+    return df.groupBy("grid_row", "grid_col").agg(F.count("*").alias("n_pages"))
+
+
+def q_raster_counts_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()}
+SELECT least(63, greatest(0, CAST(floor(({v}) * 64) AS BIGINT))) AS grid_row,
+       least(63, greatest(0, CAST(floor(({u}) * 64) AS BIGINT))) AS grid_col,
+       COUNT(*) AS n_pages
+FROM geotagged GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------------------ MVT ---
+# Non-SQL-expressible (binary protobuf sink) -> rows-only driver check;
+# byte-level correctness is covered by tests/test_tiler_spark.py.
+
+def q_mvt_tiles(spark, sf_dir):
+    """B12-B15 flagship: z0-z4 point-tile pyramid, MVT-encoded."""
+    geo = _geotagged(spark, sf_dir)
+    df = index.with_tiles(index.with_unit(geo), 0, 4)
+    df = df.withColumn("feature_id", F.expr(index.feature_id_expr("spark")))
+    tiles = tiler.encode_point_tiles(df)
+    return tiles.select("z", "x", "y", "n_features", "n_bytes", "mvt_sha256")
+
+
+def q_mvt_verify(spark, sf_dir):
+    """B16: decode every emitted tile with the engine's own reader."""
+    geo = _geotagged(spark, sf_dir)
+    df = index.with_tiles(index.with_unit(geo), 0, 3)
+    df = df.withColumn("feature_id", F.expr(index.feature_id_expr("spark")))
+    tiles = tiler.encode_point_tiles(df)
+    return tiler.decode_verify_tiles(tiles)
+
+
+# ------------------------------------------------------------ relational --
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation over lineitem (scan+agg coverage)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            F.avg("l_discount").alias("avg_disc"),
+        )
+    )
+
+
+def q_pricing_summary_sql(sf_dir):
+    return """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       COUNT(*) AS count_order,
+       AVG(l_discount) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_customers(spark, sf_dir):
+    """join + window top-k: top 5 customers by revenue per nation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    joined = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_nationkey", "revenue"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("revenue"), "c_custkey")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("c_nationkey", "c_custkey", "revenue", "rank")
+    )
+
+
+def q_top_customers_sql(sf_dir):
+    return """
+WITH rev AS (
+  SELECT o_custkey, SUM(o_totalprice) AS revenue FROM orders GROUP BY o_custkey),
+joined AS (
+  SELECT c.c_custkey, c.c_nationkey, r.revenue
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+ranked AS (
+  SELECT c_nationkey, c_custkey, revenue,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey) AS rank
+  FROM joined)
+SELECT c_nationkey, c_custkey, revenue, rank FROM ranked WHERE rank <= 5"""
+
+
+def q_order_rollup(spark, sf_dir):
+    """grouping sets: ROLLUP(year, priority) over orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("total"), F.count("*").alias("n_orders"))
+    )
+
+
+def q_order_rollup_sql(sf_dir):
+    return """
+SELECT year(o_orderdate) AS order_year, o_orderpriority,
+       SUM(o_totalprice) AS total, COUNT(*) AS n_orders
+FROM orders GROUP BY ROLLUP(order_year, o_orderpriority)"""
+
+
+def q_semi_anti(spark, sf_dir):
+    """semi/anti join coverage: customers with orders but none urgent."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    has = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return has.join(
+        urgent, has.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_semi_anti_sql(sf_dir):
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+
+
+def q_events_window(spark, sf_dir):
+    """window functions over the events stream table: per-user running
+    value sum and previous event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # accumulate in DECIMAL so the running sum is exact (float running sums
+    # differ in ULPs between engines: sequential vs segment-tree), then cast
+    # back to double (correctly-rounded conversion on both engines).
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def q_events_window_sql(sf_dir):
+    return """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+FROM events"""
+
+
+# -------------------------------------------------- training-data ops -----
+
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup: sha256(text) groups with >1 doc (hash-groupBy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("text_sha", F.sha2("text", 256))
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_dedup_exact_sql(sf_dir):
+    return """
+SELECT sha256(text) AS text_sha, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1"""
+
+
+def q_text_stats(spark, sf_dir):
+    """text quality metrics with built-ins only (identical arithmetic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id",
+        "length(text) as n_chars_computed",
+        "length(text) - length(replace(text, ' ', '')) as n_spaces",
+        "length(text) - length(replace(text, '.', '')) as n_periods",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) + 1 AS DOUBLE) as space_ratio",
+    )
+
+
+def q_text_stats_sql(sf_dir):
+    return """
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       length(text) - length(replace(text, '.', '')) AS n_periods,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) + 1 AS DOUBLE) AS space_ratio
+FROM documents"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "geotag": (q_geotag, q_geotag_sql),
+    "tile_assign_z12": (q_tile_assign, q_tile_assign_sql),
+    "tile_counts_pyramid": (q_tile_counts, q_tile_counts_sql),
+    "pyramid_rollup": (q_pyramid_rollup, q_pyramid_rollup_sql),
+    "cell_index_z12": (q_cell_index, q_cell_index_sql),
+    "pip_join": (q_pip_join, q_pip_join_sql),
+    "pip_counts": (q_pip_counts, q_pip_counts_sql),
+    "knn_3": (q_knn, q_knn_sql),
+    "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
+    "mvt_tiles_z0_4": (q_mvt_tiles, None),
+    "mvt_roundtrip_verify": (q_mvt_verify, None),
+    "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),
+    "top_customers_per_nation": (q_top_customers, q_top_customers_sql),
+    "order_rollup": (q_order_rollup, q_order_rollup_sql),
+    "semi_anti_join": (q_semi_anti, q_semi_anti_sql),
+    "events_window": (q_events_window, q_events_window_sql),
+    "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
+    "text_stats": (q_text_stats, q_text_stats_sql),
+}
