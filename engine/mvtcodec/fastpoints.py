@@ -165,3 +165,161 @@ def encode_point_tile(
     """Single-layer point tile: Tile.layers framing around the layer."""
     layer = encode_point_layer(name, extent, fids, px, py, tag_columns)
     return pbwire.len_delimited(3, layer)
+
+
+def encode_point_tiles_sorted(
+    counts: np.ndarray,
+    fids: np.ndarray | None,
+    px: np.ndarray,
+    py: np.ndarray,
+    tag_columns: dict[str, tuple[str, np.ndarray]] | None,
+    layer_name: str,
+    extent: int,
+) -> list[bytes]:
+    """Encode MANY single-layer point tiles in one vectorized pass.
+
+    Rows are pre-sorted by tile then feature_id; ``counts[i]`` is the number
+    of rows of tile i. Returns one bytes object per tile, byte-identical to
+    encode_point_tile on each tile's slice (asserted in tests): the per-tile
+    first-seen tag dictionary is reproduced batch-wide via a grouped
+    first-occurrence ranking instead of per-tile factorize.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    n_tiles = len(counts)
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    tag_columns = tag_columns or {}
+    keys = list(tag_columns.keys())
+    t = len(keys)
+
+    # --- geometry (batch-wide)
+    words = np.empty((n, 3), dtype=np.uint64)
+    words[:, 0] = int(make_command(MOVE_TO, 1))
+    words[:, 1] = make_parameter(px)
+    words[:, 2] = make_parameter(py)
+    flat = words.reshape(-1)
+    geom_blob = np.frombuffer(pbwire.varint_array(flat), dtype=np.uint8)
+    glen = pbwire.varint_array_lengths(flat).reshape(n, 3).sum(axis=1)
+    geom_starts = np.cumsum(glen) - glen
+
+    # --- per-tile first-seen tag dictionaries, batch-wide
+    tile_of_row = np.repeat(np.arange(n_tiles, dtype=np.int64), counts)
+    values_bytes_per_tile: list[bytes] | None = None
+    tag_idx = None
+    keys_blob = b"".join(pbwire.len_delimited(3, k.encode("utf-8")) for k in keys)
+    if t:
+        typed = np.empty(n * t, dtype=object)
+        for j, key in enumerate(keys):
+            vtype, arr = tag_columns[key]
+            col = np.asarray(arr, dtype=object)
+            # element index row*t + j holds (row, col j) -> feature-major
+            typed[j::t] = [(vtype, v) for v in col]
+        codes, uniques = pd.factorize(typed, use_na_sentinel=False)
+        K = len(uniques) + 1
+        g_el = np.repeat(tile_of_row, t)
+        pair = g_el * K + codes
+        uniq_pairs, first_idx = np.unique(pair, return_index=True)
+        ug = uniq_pairs // K
+        ucode = uniq_pairs % K
+        perm = np.lexsort((first_idx, ug))  # group-major, first-seen order
+        sorted_ug = ug[perm]
+        # cumcount within group
+        grp_change = np.empty(len(perm), dtype=bool)
+        if len(perm):
+            grp_change[0] = True
+            grp_change[1:] = np.diff(sorted_ug) != 0
+        grp_starts = np.flatnonzero(grp_change)
+        local_sorted = np.arange(len(perm)) - np.repeat(
+            grp_starts, np.diff(np.append(grp_starts, len(perm)))
+        )
+        local_pos = np.empty(len(uniq_pairs), dtype=np.int64)
+        local_pos[perm] = local_sorted
+        vcode = local_pos[np.searchsorted(uniq_pairs, pair)].reshape(n, t)
+        tag_idx = np.empty((n, 2 * t), dtype=np.uint64)
+        tag_idx[:, 0::2] = np.arange(t, dtype=np.uint64)[None, :]
+        tag_idx[:, 1::2] = vcode.astype(np.uint64)
+        # per-tile dictionary value bytes (first-seen order), via cached
+        # per-unique-value encodings
+        cache = [
+            pbwire.len_delimited(4, encode_value(vt, v)) for (vt, v) in uniques
+        ]
+        codes_in_order = ucode[perm]
+        ends = np.append(grp_starts[1:], len(perm))
+        tiles_with_dict = sorted_ug[grp_starts]
+        values_bytes_per_tile = [b""] * n_tiles
+        for gi, (s, e) in enumerate(zip(grp_starts, ends)):
+            values_bytes_per_tile[int(tiles_with_dict[gi])] = b"".join(
+                cache[int(c)] for c in codes_in_order[s:e]
+            )
+
+    # --- per-row feature framing (batch-wide, same math as encode_point_layer)
+    msg_len = glen + 4
+    if fids is not None:
+        fids = np.asarray(fids, dtype=np.int64)
+        id_lens = pbwire.varint_array_lengths(fids.astype(np.uint64))
+        id_blob = np.frombuffer(
+            pbwire.varint_array(fids.astype(np.uint64)), dtype=np.uint8
+        )
+        id_starts = np.cumsum(id_lens) - id_lens
+        msg_len = msg_len + 1 + id_lens
+    if tag_idx is not None:
+        tflat = tag_idx.reshape(-1)
+        tag_blob = np.frombuffer(pbwire.varint_array(tflat), dtype=np.uint8)
+        tlen = pbwire.varint_array_lengths(tflat).reshape(n, -1).sum(axis=1)
+        tag_starts = np.cumsum(tlen) - tlen
+        tlen_hdr = pbwire.varint_array_lengths(tlen.astype(np.uint64))
+        msg_len = msg_len + 1 + tlen_hdr + tlen
+
+    hdr_len = pbwire.varint_array_lengths(msg_len.astype(np.uint64))
+    feat_total = msg_len + 1 + hdr_len
+    feat_starts = np.cumsum(feat_total) - feat_total
+    out = np.zeros(int(feat_total.sum()), dtype=np.uint8)
+    out[feat_starts] = 0x12
+    hdr_blob = np.frombuffer(
+        pbwire.varint_array(msg_len.astype(np.uint64)), dtype=np.uint8
+    )
+    hdr_starts = np.cumsum(hdr_len) - hdr_len
+    _ragged_copy(out, feat_starts + 1, hdr_blob, hdr_starts, hdr_len)
+    cursor = feat_starts + 1 + hdr_len
+    if fids is not None:
+        out[cursor] = 0x08
+        _ragged_copy(out, cursor + 1, id_blob, id_starts, id_lens)
+        cursor = cursor + 1 + id_lens
+    if tag_idx is not None:
+        out[cursor] = 0x12
+        thdr_blob = np.frombuffer(
+            pbwire.varint_array(tlen.astype(np.uint64)), dtype=np.uint8
+        )
+        thdr_starts = np.cumsum(tlen_hdr) - tlen_hdr
+        _ragged_copy(out, cursor + 1, thdr_blob, thdr_starts, tlen_hdr)
+        _ragged_copy(out, cursor + 1 + tlen_hdr, tag_blob, tag_starts, tlen)
+        cursor = cursor + 1 + tlen_hdr + tlen
+    out[cursor] = 0x18
+    out[cursor + 1] = 0x01
+    out[cursor + 2] = 0x22
+    out[cursor + 3] = glen.astype(np.uint8)
+    _ragged_copy(out, cursor + 4, geom_blob, geom_starts, glen)
+
+    # --- per-tile assembly (cheap slicing + joins)
+    name_blob = pbwire.len_delimited(1, layer_name.encode("utf-8"))
+    tail = (
+        pbwire.tag(5, pbwire.WT_VARINT)
+        + pbwire.varint(int(extent))
+        + pbwire.tag(15, pbwire.WT_VARINT)
+        + pbwire.varint(VERSION)
+    )
+    row_ends = np.cumsum(counts)
+    row_starts = row_ends - counts
+    byte_starts = feat_starts[row_starts]
+    byte_ends = np.append(feat_starts[row_starts[1:]], len(out))
+    out_b = out.tobytes()
+    tiles = []
+    for i in range(n_tiles):
+        feats = out_b[byte_starts[i] : byte_ends[i]]
+        vb = values_bytes_per_tile[i] if values_bytes_per_tile else b""
+        layer = name_blob + feats + keys_blob + vb + tail
+        tiles.append(
+            pbwire.tag(3, pbwire.WT_LEN) + pbwire.varint(len(layer)) + layer
+        )
+    return tiles

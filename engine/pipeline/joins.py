@@ -19,11 +19,16 @@ kNN = broadcast centers cross join + two-level deterministic top-k
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 CROSSING_COND = (
     "((y1 > lat) != (y2 > lat)) AND (lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1))"
 )
+
+
+PIP_GRID_DEG = 8.0  # bucket grid for the prepared-polygon stage
 
 
 def poly_bbox(edges: DataFrame) -> DataFrame:
@@ -37,15 +42,39 @@ def poly_bbox(edges: DataFrame) -> DataFrame:
 
 def pip_join(geotagged: DataFrame, edges: DataFrame) -> DataFrame:
     """(url, poly_id) pairs where the page's point is inside the polygon
-    (even-odd over all rings, holes subtract)."""
+    (even-odd over all rings, holes subtract).
+
+    Scale path ("prepared ray-casting over cell-bucketed broadcast
+    polygons"): each polygon bbox explodes into the 8-degree grid cells it
+    intersects (broadcast, tiny); pages equi-join on their own cell — a
+    HASH join whose fanout is the local polygon density, instead of an
+    O(pages x polys) nested-loop range join. The bbox filter then the
+    crossing-parity aggregation keep semantics exact.
+    """
     bbox = poly_bbox(edges)
-    candidates = geotagged.join(
-        F.broadcast(bbox),
-        (F.col("lon") >= F.col("bx0"))
-        & (F.col("lon") <= F.col("bx1"))
-        & (F.col("lat") >= F.col("by0"))
-        & (F.col("lat") <= F.col("by1")),
-    ).select("url", "lat", "lon", "poly_id")
+    w = PIP_GRID_DEG
+    bbox_cells = bbox.selectExpr(
+        "poly_id", "bx0", "bx1", "by0", "by1",
+        f"explode(sequence(cast(floor(bx0 / {w}) as bigint), cast(floor(bx1 / {w}) as bigint))) as gx",
+    ).selectExpr(
+        "poly_id", "bx0", "bx1", "by0", "by1", "gx",
+        f"explode(sequence(cast(floor(by0 / {w}) as bigint), cast(floor(by1 / {w}) as bigint))) as gy",
+    )
+    pages_c = geotagged.selectExpr(
+        "url", "lat", "lon",
+        f"cast(floor(lon / {w}) as bigint) as gx",
+        f"cast(floor(lat / {w}) as bigint) as gy",
+    )
+    candidates = (
+        pages_c.join(F.broadcast(bbox_cells), ["gx", "gy"])
+        .filter(
+            (F.col("lon") >= F.col("bx0"))
+            & (F.col("lon") <= F.col("bx1"))
+            & (F.col("lat") >= F.col("by0"))
+            & (F.col("lat") <= F.col("by1"))
+        )
+        .select("url", "lat", "lon", "poly_id")
+    )
     crossings = (
         candidates.join(F.broadcast(edges), "poly_id")
         .withColumn("hit", F.expr(f"CASE WHEN {CROSSING_COND} THEN 1 ELSE 0 END"))
@@ -78,21 +107,103 @@ SELECT url, poly_id FROM crossings WHERE c % 2 = 1
 """
 
 
-def knn_join(geotagged: DataFrame, centers: DataFrame, k: int = 3) -> DataFrame:
-    """k nearest polygon centers per page; distance = squared euclidean in
-    degree space (deterministic, oracle-identical); ties by poly_id."""
-    paired = geotagged.select("url", "lat", "lon").join(F.broadcast(centers))
-    paired = paired.withColumn(
+KNN_CELL_DEG = 22.5  # default degree-grid cell width for candidate gen
+
+
+def _with_dist2(paired: DataFrame) -> DataFrame:
+    return paired.withColumn(
         "dist2",
         (F.col("lon") - F.col("clon")) * (F.col("lon") - F.col("clon"))
         + (F.col("lat") - F.col("clat")) * (F.col("lat") - F.col("clat")),
     )
+
+
+def _topk(paired: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("url").orderBy("dist2", "poly_id")
     return (
-        paired.withColumn("rank", F.row_number().over(w))
+        _with_dist2(paired)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("url", "poly_id", "dist2", "rank")
     )
+
+
+def knn_bruteforce(geotagged: DataFrame, centers: DataFrame, k: int = 3) -> DataFrame:
+    """Exact kNN via full cross join + window top-k (the baseline path)."""
+    paired = geotagged.select("url", "lat", "lon").join(F.broadcast(centers))
+    return _topk(paired, k).select("url", "poly_id", "dist2", "rank")
+
+
+def knn_join(
+    geotagged: DataFrame,
+    centers: DataFrame,
+    k: int = 3,
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Exact kNN, scale path (B9): cell-neighbor candidate expansion.
+
+    Centers explode into their 3x3 neighborhood on a degree grid and
+    broadcast; pages equi-join on their own cell — a hash join whose
+    candidate count is O(local density), not O(#centers). Any center
+    OUTSIDE the neighborhood is > one cell width away in some axis, so
+    dist2 > cell_deg^2: if a page's k-th candidate beats that bound the
+    top-k is provably exact; the (rare) unverified pages fall back to the
+    brute-force path. Result therefore equals exact kNN — same as the
+    oracle — while scaling as a bounded-fanout equi-join.
+
+    The grid cascades through widths (W, 4W, 16W): pages whose top-k is not
+    provable at a level (k-th candidate beyond the level's bound — e.g.
+    polar pages far from the center band) retry at the next coarser level;
+    only the residue crosses with all centers. cell_deg defaults to a
+    density-adaptive W targeting a high verify rate at level 1.
+    """
+    if cell_deg is None:
+        n_centers = centers.count()  # dimension side: tiny, already driver-known
+        cell_deg = min(KNN_CELL_DEG, max(2.0, (129900.0 / max(n_centers, 1)) ** 0.5))
+    # persist the narrow (url,lat,lon) projection and each level's verified
+    # output: the cascade's anti-joins would otherwise replay the upstream
+    # lineage (sha2 geotag derivation) once per level.
+    pages = geotagged.select("url", "lat", "lon").persist()
+    resolved = []
+    remaining = pages
+    for w in (cell_deg, 4 * cell_deg, 16 * cell_deg):
+        if w >= 120.0:
+            break
+        cell = f"cast(floor(%s / {w}) as bigint)"
+        pages_c = remaining.withColumn("cx", F.expr(cell % "lon")).withColumn(
+            "cy", F.expr(cell % "lat")
+        )
+        neigh = (
+            centers.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .selectExpr(
+                "poly_id",
+                "clon",
+                "clat",
+                f"{cell % 'clon'} + di as cx",
+                f"{cell % 'clat'} + dj as cy",
+            )
+        )
+        cand = pages_c.join(F.broadcast(neigh), ["cx", "cy"])
+        top = _topk(cand, k)
+        # self-verification in the same url partitioning (no extra shuffle)
+        wu = Window.partitionBy("url")
+        top = top.withColumn("_cnt", F.count("*").over(wu)).withColumn(
+            "_maxd", F.max("dist2").over(wu)
+        )
+        good = (
+            top.filter((F.col("_cnt") == k) & (F.col("_maxd") <= F.lit(w * w)))
+            .select("url", "poly_id", "dist2", "rank")
+            .persist()
+        )
+        resolved.append(good)
+        remaining = remaining.join(
+            good.select("url").distinct(), "url", "left_anti"
+        ).persist()
+    fallback = _topk(remaining.join(F.broadcast(centers)), k)
+    out = fallback.select("url", "poly_id", "dist2", "rank")
+    for good in resolved:
+        out = out.unionByName(good)
+    return out
 
 
 def knn_oracle_sql(with_ctes: str, k: int = 3) -> str:
@@ -108,3 +219,72 @@ ranked AS (
   FROM paired)
 SELECT url, poly_id, dist2, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def knn_join_numpy(
+    geotagged: DataFrame, centers: DataFrame, k: int = 3
+) -> DataFrame:
+    """Exact kNN, map-only path: centers (small dim side) ship to every
+    task; each Arrow batch computes the full distance matrix in numpy and
+    takes top-k with deterministic (dist2, poly_id) tie-breaking.
+
+    No shuffle at all — at cluster scale this is a pure map over the pages
+    table, which beats any join/window formulation while the center count
+    fits in memory (chunked to bound the distance-matrix footprint).
+    Arithmetic is the same IEEE float64 expression as the SQL oracle.
+    """
+    rows = centers.select("poly_id", "clon", "clat").collect()
+    poly_ids = np.array([r.poly_id for r in rows], dtype=np.int64)
+    clon = np.array([r.clon for r in rows], dtype=np.float64)
+    clat = np.array([r.clat for r in rows], dtype=np.float64)
+
+    def compute(batches):
+        P = len(poly_ids)
+        for pdf in batches:
+            urls = pdf["url"].to_numpy()
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            out_url, out_pid, out_d2, out_rank = [], [], [], []
+            chunk = max(1, (1 << 24) // max(P, 1))  # ~128MB f64 buffers
+            buf = np.empty((min(chunk, len(lon)), P), dtype=np.float64)
+            tmp = np.empty_like(buf)
+            for s in range(0, len(lon), chunk):
+                e = min(s + chunk, len(lon))
+                m = e - s
+                d2 = buf[:m]
+                t = tmp[:m]
+                # exact oracle arithmetic, minimal memory traffic
+                np.subtract(lon[s:e, None], clon[None, :], out=d2)
+                np.multiply(d2, d2, out=d2)
+                np.subtract(lat[s:e, None], clat[None, :], out=t)
+                np.multiply(t, t, out=t)
+                np.add(d2, t, out=d2)
+                kk = min(k, P)
+                sel_pid = np.empty((m, kk), dtype=np.int64)
+                sel_d2 = np.empty((m, kk), dtype=np.float64)
+                rows = np.arange(m)
+                for j in range(kk):
+                    # argmin returns the FIRST minimum -> smallest poly_id
+                    # among ties, i.e. exactly the (dist2, poly_id) order
+                    idx = np.argmin(d2, axis=1)
+                    sel_pid[:, j] = poly_ids[idx]
+                    sel_d2[:, j] = d2[rows, idx]
+                    d2[rows, idx] = np.inf
+                out_url.append(np.repeat(urls[s:e], kk))
+                out_pid.append(sel_pid.reshape(-1))
+                out_d2.append(sel_d2.reshape(-1))
+                out_rank.append(
+                    np.tile(np.arange(1, kk + 1), m).astype(np.int32)
+                )
+            yield pd.DataFrame(
+                {
+                    "url": np.concatenate(out_url) if out_url else [],
+                    "poly_id": np.concatenate(out_pid) if out_pid else [],
+                    "dist2": np.concatenate(out_d2) if out_d2 else [],
+                    "rank": np.concatenate(out_rank) if out_rank else [],
+                }
+            )
+
+    return geotagged.select("url", "lat", "lon").mapInPandas(
+        compute, "url string, poly_id long, dist2 double, rank int"
+    )

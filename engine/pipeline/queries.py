@@ -164,6 +164,14 @@ def q_knn_sql(sf_dir):
     return joins.knn_oracle_sql(_spatial_ctes(sf_dir, want_centers=True), k=3)
 
 
+def q_knn_numpy(spark, sf_dir):
+    """B9 alternate: map-only exact kNN (broadcast centers, numpy batch
+    distance matrix, zero shuffle). Same oracle as knn_3."""
+    return joins.knn_join_numpy(
+        _geotagged(spark, sf_dir), fixtures.polygon_centers_df(spark, sf_dir), k=3
+    )
+
+
 def q_raster_counts(spark, sf_dir):
     """B10: vector->raster — page counts on a 64x64 raster grid over the
     unit square, pure integer math."""
@@ -381,6 +389,7 @@ REGISTRY: dict[str, tuple] = {
     "pip_join": (q_pip_join, q_pip_join_sql),
     "pip_counts": (q_pip_counts, q_pip_counts_sql),
     "knn_3": (q_knn, q_knn_sql),
+    "knn_3_maponly": (q_knn_numpy, q_knn_sql),
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
     "mvt_tiles_z0_4": (q_mvt_tiles, None),
     "mvt_roundtrip_verify": (q_mvt_verify, None),

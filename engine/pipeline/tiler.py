@@ -77,40 +77,29 @@ def _encode_batch(
     extent: int,
 ) -> pd.DataFrame:
     starts = _group_bounds(pdf)
-    ends = np.append(starts[1:], len(pdf))
-    px_all = quantize(pdf["px"].to_numpy())
-    py_all = quantize(pdf["py"].to_numpy())
-    fid_all = pdf["feature_id"].to_numpy(dtype=np.int64)
-    tag_arrays = {
+    counts = np.diff(np.append(starts, len(pdf)))
+    tags = {
         col: (vt, pdf[col].to_numpy(dtype=object if vt == "string" else None))
         for col, vt in tag_cols
     }
-    zs, xs, ys, blobs, nfeat, nbytes, shas = [], [], [], [], [], [], []
-    z_np = pdf["z"].to_numpy()
-    x_np = pdf["x"].to_numpy()
-    y_np = pdf["y"].to_numpy()
-    for s, e in zip(starts, ends):
-        tags = {col: (vt, arr[s:e]) for col, (vt, arr) in tag_arrays.items()}
-        layer = fastpoints.encode_point_layer(
-            layer_name, extent, fid_all[s:e], px_all[s:e], py_all[s:e], tags
-        )
-        data = pbwire.len_delimited(3, layer)
-        zs.append(int(z_np[s]))
-        xs.append(int(x_np[s]))
-        ys.append(int(y_np[s]))
-        blobs.append(data)
-        nfeat.append(e - s)
-        nbytes.append(len(data))
-        shas.append(hashlib.sha256(data).hexdigest())
+    blobs = fastpoints.encode_point_tiles_sorted(
+        counts,
+        pdf["feature_id"].to_numpy(dtype=np.int64),
+        quantize(pdf["px"].to_numpy()),
+        quantize(pdf["py"].to_numpy()),
+        tags,
+        layer_name,
+        extent,
+    )
     return pd.DataFrame(
         {
-            "z": pd.array(zs, dtype="int32"),
-            "x": xs,
-            "y": ys,
+            "z": pd.array(pdf["z"].to_numpy()[starts], dtype="int32"),
+            "x": pdf["x"].to_numpy()[starts],
+            "y": pdf["y"].to_numpy()[starts],
             "mvt": blobs,
-            "n_features": nfeat,
-            "n_bytes": nbytes,
-            "mvt_sha256": shas,
+            "n_features": counts,
+            "n_bytes": [len(b) for b in blobs],
+            "mvt_sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
         }
     )
 

@@ -81,3 +81,31 @@ def test_fastpoints_throughput_sanity():
     dt = time.perf_counter() - t0
     assert len(data) > n * 5
     assert dt < 2.0, f"fast path too slow: {dt:.2f}s for {n} features"
+
+
+def test_batch_encoder_matches_per_tile():
+    rng = np.random.default_rng(3)
+    n_tiles = 60
+    counts = rng.integers(1, 40, n_tiles)
+    n = int(counts.sum())
+    px = rng.integers(0, 4096, n)
+    py = rng.integers(0, 4096, n)
+    fids = rng.choice(2**62, n, replace=False)
+    langs = rng.choice(["en", "de", "zh", "fr"], n).astype(object)
+    src = rng.choice(["web", "en"], n).astype(object)  # "en" shared across cols
+    tags = {"lang": ("string", langs), "source": ("string", src)}
+    batch = fastpoints.encode_point_tiles_sorted(
+        counts, fids, px, py, tags, "pages", 4096
+    )
+    starts = np.cumsum(counts) - counts
+    for i, (s, c) in enumerate(zip(starts, counts)):
+        e = s + c
+        single = fastpoints.encode_point_tile(
+            "pages", 4096, fids[s:e], px[s:e], py[s:e],
+            {"lang": ("string", langs[s:e]), "source": ("string", src[s:e])},
+        )
+        assert batch[i] == single, f"tile {i} differs"
+    # no-tag + no-id variant
+    batch2 = fastpoints.encode_point_tiles_sorted(counts, None, px, py, {}, "p", 512)
+    for i, (s, c) in enumerate(zip(starts, counts)):
+        assert batch2[i] == fastpoints.encode_point_tile("p", 512, None, px[s:s+c], py[s:s+c])
