@@ -35,6 +35,40 @@ def _ragged_copy(dst, dst_starts, src, src_starts, lengths):
     ]
 
 
+def _global_tag_codes(
+    keys: list[str],
+    tag_columns: dict[str, tuple[str, np.ndarray]],
+    n: int,
+) -> tuple[np.ndarray, list[tuple]]:
+    """Dictionary-code all tag values without per-row Python tuples.
+
+    Returns (interleaved, uniques): ``interleaved`` is the feature-major
+    (n*t,) stream of global value ids; ``uniques[gid] = (vtype, value)``.
+    Global ids are assigned column-by-column (arbitrary but stable); callers
+    re-rank to first-seen order as needed. Equivalent to factorizing the
+    per-element (vtype, value) tuples, but per-column factorize runs on
+    native dtypes and the cross-column merge only touches the unique sets.
+    """
+    t = len(keys)
+    col_codes = np.empty((n, t), dtype=np.int64)
+    slots: dict[tuple, int] = {}
+    uniques: list[tuple] = []
+    for j, key in enumerate(keys):
+        vtype, arr = tag_columns[key]
+        codes, uniqs = pd.factorize(np.asarray(arr), use_na_sentinel=False)
+        remap = np.empty(len(uniqs), dtype=np.int64)
+        for li, v in enumerate(uniqs):
+            k2 = (vtype, v)
+            gid = slots.get(k2)
+            if gid is None:
+                gid = len(uniques)
+                slots[k2] = gid
+                uniques.append(k2)
+            remap[li] = gid
+        col_codes[:, j] = remap[codes]
+    return col_codes.ravel(), uniques
+
+
 def encode_point_layer(
     name: str,
     extent: int,
@@ -71,19 +105,15 @@ def encode_point_layer(
     tag_idx = None
     values_list: list[tuple] = []
     if keys:
-        typed_cols = []
-        for key in keys:
-            vtype, arr = tag_columns[key]
-            typed_cols.append(
-                np.fromiter(
-                    ((vtype, v) for v in np.asarray(arr, dtype=object)),
-                    dtype=object,
-                    count=n,
-                )
-            )
-        stacked = np.stack(typed_cols, axis=1).ravel()  # feature-major
-        codes, uniques = pd.factorize(stacked, use_na_sentinel=False)
-        values_list = list(uniques)
+        interleaved, uniques = _global_tag_codes(keys, tag_columns, n)
+        # re-rank global ids to first-seen order in the feature-major stream
+        first_idx = np.full(len(uniques), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_idx, interleaved, np.arange(interleaved.size))
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        codes = rank[interleaved]
+        values_list = [uniques[int(g)] for g in order]
         t = len(keys)
         tag_idx = np.empty((n, 2 * t), dtype=np.uint64)
         tag_idx[:, 0::2] = np.arange(t, dtype=np.uint64)[None, :]
@@ -209,13 +239,7 @@ def encode_point_tiles_sorted(
     tag_idx = None
     keys_blob = b"".join(pbwire.len_delimited(3, k.encode("utf-8")) for k in keys)
     if t:
-        typed = np.empty(n * t, dtype=object)
-        for j, key in enumerate(keys):
-            vtype, arr = tag_columns[key]
-            col = np.asarray(arr, dtype=object)
-            # element index row*t + j holds (row, col j) -> feature-major
-            typed[j::t] = [(vtype, v) for v in col]
-        codes, uniques = pd.factorize(typed, use_na_sentinel=False)
+        codes, uniques = _global_tag_codes(keys, tag_columns, n)
         K = len(uniques) + 1
         g_el = np.repeat(tile_of_row, t)
         pair = g_el * K + codes
