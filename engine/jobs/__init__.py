@@ -1,0 +1,1 @@
+"""spark-submit entrypoints (north rule: packaged for --py-files)."""

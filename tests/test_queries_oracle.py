@@ -4,39 +4,13 @@ exactly (row count, schema-insensitive column order, values)."""
 
 from __future__ import annotations
 
-import math
-
-import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
 from engine.pipeline.queries import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-@pytest.fixture(scope="session")
-def spark():
-    from engine.pipeline.session import get_spark
-
-    s = get_spark(master="local[4]", shuffle_partitions=8, app_name="tests")
-    yield s
-    s.stop()
-
-
-@pytest.fixture(scope="session")
-def ddb():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    return con
+from .conftest import SF_DIR
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
