@@ -228,6 +228,30 @@ def polygon_edges_cte(n_polys: int, alias: str = "poly_edges") -> str:
     )
 
 
+def polygon_bbox_np(n_polys: int):
+    """(poly_id, u0, v0, u1, v1) — exterior-ring bbox in WebMercator unit
+    coords, computed driver-side so both engines see identical double
+    literals (repr round-trips)."""
+    from engine.spatial.mercator import lnglat_to_unit
+
+    rows = []
+    for poly in polygons_np(n_polys):
+        ext = np.asarray(poly["rings"][0], dtype=np.float64)
+        u, v = lnglat_to_unit(ext[:, 0], ext[:, 1])
+        rows.append(
+            (poly["poly_id"], float(u.min()), float(v.min()), float(u.max()), float(v.max()))
+        )
+    return rows
+
+
+def polygon_bbox_cte(n_polys: int, alias: str = "poly_bbox") -> str:
+    values = ",".join(
+        f"({pid},{u0!r},{v0!r},{u1!r},{v1!r})"
+        for pid, u0, v0, u1, v1 in polygon_bbox_np(n_polys)
+    )
+    return f"{alias}(poly_id, u0, v0, u1, v1) AS (VALUES {values})"
+
+
 def polygon_centers_np(n_polys: int):
     """(poly_id, name, clon, clat) — centroid of the exterior ring's vertices
     (open ring mean, exact float math identical on both engines is avoided by

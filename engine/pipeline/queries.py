@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import fixtures, index, joins, tiler
+from . import fixtures, index, joins, polytiler, tiler
 
 
 def _geotagged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,6 +216,37 @@ def q_mvt_verify(spark, sf_dir):
     return tiler.decode_verify_tiles(tiles)
 
 
+def q_poly_tile_coverage(spark, sf_dir):
+    """B5/B11 prep: (polygon, covered tile) pairs z0-z6 — the JVM-side
+    bbox-explode that feeds the polygon tiler (no UDF)."""
+    polys = polytiler.polygons_nested_df(spark, sf_dir)
+    return polytiler.with_covered_tiles(polys, 0, 6).select("poly_id", "z", "x", "y")
+
+
+def q_poly_tile_coverage_sql(sf_dir):
+    n = fixtures.poly_count_for(sf_dir)
+    m = polytiler.BUFFER / polytiler.EXTENT
+    return f"""
+WITH {fixtures.polygon_bbox_cte(n)},
+bounds AS (
+  SELECT b.poly_id, z.z,
+         greatest(CAST(0 AS BIGINT), CAST(floor(b.u0 * (1 << z.z) - {m}) AS BIGINT)) AS xlo,
+         least(CAST((1 << z.z) AS BIGINT) - 1, CAST(floor(b.u1 * (1 << z.z) + {m}) AS BIGINT)) AS xhi,
+         greatest(CAST(0 AS BIGINT), CAST(floor(b.v0 * (1 << z.z) - {m}) AS BIGINT)) AS ylo,
+         least(CAST((1 << z.z) AS BIGINT) - 1, CAST(floor(b.v1 * (1 << z.z) + {m}) AS BIGINT)) AS yhi
+  FROM poly_bbox b CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS z) z),
+xs AS (SELECT poly_id, z, unnest(generate_series(xlo, xhi)) AS x, ylo, yhi FROM bounds)
+SELECT poly_id, z, x, unnest(generate_series(ylo, yhi)) AS y FROM xs"""
+
+
+def q_mvt_polygon_tiles(spark, sf_dir):
+    """B11+B15: polygon + outline layers, clipped (Sutherland-Hodgman /
+    Liang-Barsky), quantized, MVT-encoded. Binary sink -> rows-only check;
+    byte/winding correctness in tests/test_polytiler.py."""
+    tiles = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 5)
+    return tiles.select("z", "x", "y", "n_features", "n_bytes", "mvt_sha256")
+
+
 # ------------------------------------------------------------ relational --
 
 def q_pricing_summary(spark, sf_dir):
@@ -393,6 +424,8 @@ REGISTRY: dict[str, tuple] = {
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
     "mvt_tiles_z0_4": (q_mvt_tiles, None),
     "mvt_roundtrip_verify": (q_mvt_verify, None),
+    "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),
+    "mvt_polygon_tiles": (q_mvt_polygon_tiles, None),
     "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),
     "top_customers_per_nation": (q_top_customers, q_top_customers_sql),
     "order_rollup": (q_order_rollup, q_order_rollup_sql),
