@@ -371,6 +371,62 @@ FROM events"""
 
 
 # -------------------------------------------------- training-data ops -----
+# Dialect-parameterized SQL templates (engine.textops): the Spark side runs
+# the 'spark' instantiation over temp views, the oracle the 'duckdb' one —
+# integer-exact math throughout, so value hashes match bit-for-bit.
+
+def _sql_template(template_fn, tables=("documents",)):
+    def spark_fn(spark, sf_dir):
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        return spark.sql(template_fn("spark"))
+
+    def sql_fn(sf_dir):
+        return template_fn("duckdb")
+
+    return spark_fn, sql_fn
+
+
+from engine.textops import analysis, multimodal, similarity, sqlgen  # noqa: E402
+
+q_lsh_pairs, q_lsh_pairs_sql = _sql_template(sqlgen.lsh_pairs_sql)
+q_near_dup, q_near_dup_sql = _sql_template(sqlgen.near_dup_pairs_sql)
+q_simhash, q_simhash_sql = _sql_template(sqlgen.simhash_sql)
+q_simhash_dups, q_simhash_dups_sql = _sql_template(sqlgen.simhash_dups_sql)
+q_ann_topk, q_ann_topk_sql = _sql_template(similarity.ann_topk_sql, ("embeddings",))
+q_lsh_hist, q_lsh_hist_sql = _sql_template(
+    similarity.lsh_bucket_histogram_sql, ("embeddings",)
+)
+q_ann_lsh_topk, q_ann_lsh_topk_sql = _sql_template(
+    similarity.lsh_topk_sql, ("embeddings",)
+)
+q_lang_id, q_lang_id_sql = _sql_template(analysis.lang_scores_sql)
+q_token_stats, q_token_stats_sql = _sql_template(analysis.token_stats_sql)
+q_quality, q_quality_sql = _sql_template(analysis.quality_score_sql)
+q_fingerprint, q_fingerprint_sql = _sql_template(analysis.fingerprint_sql)
+
+
+def q_ann_maponly(spark, sf_dir):
+    """ANN brute force, numpy mapInPandas fast path (same exact numbers as
+    the SQL template — shares its oracle)."""
+    return similarity.topk_numpy_df(spark, sf_dir)
+
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> typed metadata via
+    mapInPandas (stubbed decode, real schema/batching)."""
+    return multimodal.decode_media_df(fixtures.pages_df(spark, sf_dir))
+
+
+def q_media_metadata_sql(sf_dir):
+    return multimodal.media_metadata_sql(fixtures.pages_cte(sf_dir))
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame sampling fan-out: one row per sampled frame with its binary
+    payload (rows-only check — binary fan-out has no SQL twin)."""
+    return multimodal.frame_sample_df(fixtures.pages_df(spark, sf_dir))
+
 
 def q_dedup_exact(spark, sf_dir):
     """exact dedup: sha256(text) groups with >1 doc (hash-groupBy)."""
@@ -433,4 +489,18 @@ REGISTRY: dict[str, tuple] = {
     "events_window": (q_events_window, q_events_window_sql),
     "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
     "text_stats": (q_text_stats, q_text_stats_sql),
+    "minhash_lsh_pairs": (q_lsh_pairs, q_lsh_pairs_sql),
+    "near_dup_jaccard": (q_near_dup, q_near_dup_sql),
+    "simhash": (q_simhash, q_simhash_sql),
+    "simhash_dedup": (q_simhash_dups, q_simhash_dups_sql),
+    "ann_topk_exact": (q_ann_topk, q_ann_topk_sql),
+    "ann_topk_maponly": (q_ann_maponly, q_ann_topk_sql),
+    "ann_lsh_buckets": (q_lsh_hist, q_lsh_hist_sql),
+    "ann_lsh_topk": (q_ann_lsh_topk, q_ann_lsh_topk_sql),
+    "lang_id": (q_lang_id, q_lang_id_sql),
+    "token_stats": (q_token_stats, q_token_stats_sql),
+    "quality_score": (q_quality, q_quality_sql),
+    "fingerprint_winnow": (q_fingerprint, q_fingerprint_sql),
+    "media_metadata": (q_media_metadata, q_media_metadata_sql),
+    "media_frames": (q_media_frames, None),
 }

@@ -1,0 +1,78 @@
+"""Unit tests for the textops kernels (rolling hash, winnowing, multimodal
+stubs) — the SQL operators themselves are covered by the oracle-parity
+tests in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.textops import multimodal, rolling
+
+
+def _naive_kgram(data: bytes, k: int):
+    out = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for ch in data[i : i + k]:
+            h = (h * rolling.B + ch) % rolling.P
+        out.append(h)
+    return np.array(out, dtype=np.int64)
+
+
+def test_rolling_matches_naive():
+    rng = np.random.default_rng(5)
+    for n, k in [(1, 1), (16, 16), (40, 16), (500, 16), (300, 7)]:
+        data = bytes(rng.integers(0, 256, n).tolist())
+        got = rolling.kgram_hashes(data, k)
+        want = _naive_kgram(data, k)
+        assert np.array_equal(got, want), (n, k)
+
+
+def test_rolling_short_input():
+    assert len(rolling.kgram_hashes(b"abc", 16)) == 0
+
+
+def test_winnow_properties():
+    rng = np.random.default_rng(9)
+    h = rng.integers(0, 2**31, 200)
+    fps = rolling.winnow(h, 8)
+    assert len(np.unique(fps)) == len(fps)
+    assert set(fps.tolist()) <= set(h.tolist())
+    # global min always survives winnowing
+    assert h.min() in fps
+    # identical docs -> identical fingerprints; edited docs share most
+    t1 = b"the quick brown fox jumps over the lazy dog " * 20
+    t2 = t1.replace(b"fox", b"cat")
+    f1 = set(rolling.winnow(rolling.kgram_hashes(t1, 16), 8).tolist())
+    f2 = set(rolling.winnow(rolling.kgram_hashes(t2, 16), 8).tolist())
+    assert f1 == set(rolling.winnow(rolling.kgram_hashes(t1, 16), 8).tolist())
+    assert len(f1 & f2) > 0
+
+
+def test_fingerprints_text_api():
+    fps = rolling.fingerprints("hello world, this is a document " * 10)
+    assert len(fps) > 0 and fps.dtype == np.int64
+
+
+def test_real_decode_is_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x89PNG")
+
+
+def test_media_frames_rows(spark):
+    from engine.pipeline import fixtures
+
+    from .conftest import SF_DIR
+
+    pages = fixtures.pages_df(spark, SF_DIR).limit(200)
+    pdf = multimodal.frame_sample_df(pages).toPandas()
+    meta = multimodal.decode_media_df(pages).toPandas()
+    # one row per (url, frame_idx), counts match the metadata's n_frames
+    got = pdf.groupby("url").size().sort_index()
+    want = meta.set_index("url")["n_frames"].sort_index()
+    assert got.equals(want.astype(got.dtype))
+    assert pdf["frame"].map(len).max() <= 16
+    assert pdf["frame"].map(type).eq(bytes).all() or pdf["frame"].map(
+        lambda b: isinstance(b, (bytes, bytearray))
+    ).all()
