@@ -263,19 +263,31 @@ def encode_point_tiles_sorted(
         tag_idx = np.empty((n, 2 * t), dtype=np.uint64)
         tag_idx[:, 0::2] = np.arange(t, dtype=np.uint64)[None, :]
         tag_idx[:, 1::2] = vcode.astype(np.uint64)
-        # per-tile dictionary value bytes (first-seen order), via cached
-        # per-unique-value encodings
+        # per-tile dictionary value bytes (first-seen order): gather cached
+        # per-unique-value encodings with one vectorized ragged copy
         cache = [
             pbwire.len_delimited(4, encode_value(vt, v)) for (vt, v) in uniques
         ]
+        cache_lens = np.fromiter((len(c) for c in cache), dtype=np.int64, count=len(cache))
+        cache_starts = np.cumsum(cache_lens) - cache_lens
+        cache_buf = np.frombuffer(b"".join(cache), dtype=np.uint8)
         codes_in_order = ucode[perm]
+        entry_lens = cache_lens[codes_in_order]
+        entry_starts = np.cumsum(entry_lens) - entry_lens
+        vblob = np.empty(int(entry_lens.sum()), dtype=np.uint8)
+        _ragged_copy(vblob, entry_starts, cache_buf, cache_starts[codes_in_order], entry_lens)
+        # per-tile (vstart, vlen) into vblob; grp_starts indexes codes_in_order
         ends = np.append(grp_starts[1:], len(perm))
         tiles_with_dict = sorted_ug[grp_starts]
-        values_bytes_per_tile = [b""] * n_tiles
-        for gi, (s, e) in enumerate(zip(grp_starts, ends)):
-            values_bytes_per_tile[int(tiles_with_dict[gi])] = b"".join(
-                cache[int(c)] for c in codes_in_order[s:e]
-            )
+        vlen = np.zeros(n_tiles, dtype=np.int64)
+        vstart = np.zeros(n_tiles, dtype=np.int64)
+        grp_bytes = np.add.reduceat(entry_lens, grp_starts) if len(grp_starts) else np.zeros(0, np.int64)
+        vlen[tiles_with_dict] = grp_bytes
+        vstart[tiles_with_dict] = entry_starts[grp_starts]
+    else:
+        vblob = np.zeros(0, dtype=np.uint8)
+        vlen = np.zeros(n_tiles, dtype=np.int64)
+        vstart = np.zeros(n_tiles, dtype=np.int64)
 
     # --- per-row feature framing (batch-wide, same math as encode_point_layer)
     msg_len = glen + 4
@@ -325,7 +337,9 @@ def encode_point_tiles_sorted(
     out[cursor + 3] = glen.astype(np.uint8)
     _ragged_copy(out, cursor + 4, geom_blob, geom_starts, glen)
 
-    # --- per-tile assembly (cheap slicing + joins)
+    # --- per-tile assembly, fully vectorized: layer framing computed as
+    # flat offset arrays, constant blobs broadcast-scattered, variable parts
+    # (features, dict values) ragged-copied; ONE final buffer -> n slices
     name_blob = pbwire.len_delimited(1, layer_name.encode("utf-8"))
     tail = (
         pbwire.tag(5, pbwire.WT_VARINT)
@@ -337,13 +351,35 @@ def encode_point_tiles_sorted(
     row_starts = row_ends - counts
     byte_starts = feat_starts[row_starts]
     byte_ends = np.append(feat_starts[row_starts[1:]], len(out))
-    out_b = out.tobytes()
-    tiles = []
-    for i in range(n_tiles):
-        feats = out_b[byte_starts[i] : byte_ends[i]]
-        vb = values_bytes_per_tile[i] if values_bytes_per_tile else b""
-        layer = name_blob + feats + keys_blob + vb + tail
-        tiles.append(
-            pbwire.tag(3, pbwire.WT_LEN) + pbwire.varint(len(layer)) + layer
-        )
-    return tiles
+    flen = byte_ends - byte_starts
+
+    name_arr = np.frombuffer(name_blob, dtype=np.uint8)
+    keys_arr = np.frombuffer(keys_blob, dtype=np.uint8)
+    tail_arr = np.frombuffer(tail, dtype=np.uint8)
+    layer_len = len(name_blob) + flen + len(keys_arr) + vlen + len(tail_arr)
+    hdr = pbwire.varint_array_lengths(layer_len.astype(np.uint64))
+    tile_total = 1 + hdr + layer_len
+    tile_starts = np.cumsum(tile_total) - tile_total
+    buf = np.empty(int(tile_total.sum()), dtype=np.uint8)
+    buf[tile_starts] = 0x1A  # tag(3, WT_LEN)
+    hdr_blob = np.frombuffer(
+        pbwire.varint_array(layer_len.astype(np.uint64)), dtype=np.uint8
+    )
+    hdr_starts = np.cumsum(hdr) - hdr
+    _ragged_copy(buf, tile_starts + 1, hdr_blob, hdr_starts, hdr)
+    cur = tile_starts + 1 + hdr
+    buf[cur[:, None] + np.arange(len(name_arr))[None, :]] = name_arr[None, :]
+    cur = cur + len(name_arr)
+    _ragged_copy(buf, cur, out, byte_starts, flen)
+    cur = cur + flen
+    if len(keys_arr):
+        buf[cur[:, None] + np.arange(len(keys_arr))[None, :]] = keys_arr[None, :]
+        cur = cur + len(keys_arr)
+    if len(vblob):
+        _ragged_copy(buf, cur, vblob, vstart, vlen)
+    cur = cur + vlen
+    buf[cur[:, None] + np.arange(len(tail_arr))[None, :]] = tail_arr[None, :]
+
+    mem = buf.tobytes()
+    tile_ends = (tile_starts + tile_total).tolist()
+    return [mem[s:e] for s, e in zip(tile_starts.tolist(), tile_ends)]

@@ -18,7 +18,6 @@ partitioning, salting, and executor count (SURVEY §7.4 item 1).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,6 +32,7 @@ EXTENT = 4096
 TILE_SCHEMA = (
     "z int, x bigint, y bigint, mvt binary, n_features long, n_bytes long, mvt_sha256 string"
 )
+ENCODE_SCHEMA = "z int, x bigint, y bigint, mvt binary, n_features long, n_bytes long"
 
 
 def cap_features_per_tile(
@@ -99,7 +99,6 @@ def _encode_batch(
             "mvt": blobs,
             "n_features": counts,
             "n_bytes": [len(b) for b in blobs],
-            "mvt_sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
         }
     )
 
@@ -137,7 +136,10 @@ def encode_point_tiles(
         .repartitionByRange("z", "x", "y")  # tile key ranges -> locality (B13)
         .sortWithinPartitions("z", "x", "y", "feature_id")
     )
-    return prepared.mapInPandas(encode_iter, TILE_SCHEMA)
+    encoded = prepared.mapInPandas(encode_iter, ENCODE_SCHEMA)
+    # tile digest JVM-side (codegen'd sha2 over the binary column) — keeps
+    # the Python stage free of per-tile hashlib calls
+    return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
 
 
 def decode_verify_tiles(tiles: DataFrame) -> DataFrame:

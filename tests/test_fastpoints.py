@@ -76,11 +76,13 @@ def test_fastpoints_throughput_sanity():
     py = rng.integers(0, 4096, n)
     fids = np.arange(n, dtype=np.int64)
     langs = rng.choice(["en", "de", "fr", "es", "pt", "zh"], n).astype(object)
+    args = ("pages", 4096, fids, px, py, {"lang": ("string", langs)})
+    fastpoints.encode_point_layer(*args)  # warm numpy/pandas code paths
     t0 = time.perf_counter()
-    data = fastpoints.encode_point_layer("pages", 4096, fids, px, py, {"lang": ("string", langs)})
+    data = fastpoints.encode_point_layer(*args)
     dt = time.perf_counter() - t0
     assert len(data) > n * 5
-    assert dt < 2.0, f"fast path too slow: {dt:.2f}s for {n} features"
+    assert dt < 1.0, f"fast path too slow: {dt:.2f}s for {n} features"
 
 
 def test_batch_encoder_matches_per_tile():
