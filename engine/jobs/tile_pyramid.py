@@ -35,9 +35,8 @@ def main(argv: list[str] | None = None) -> None:
     from engine.pipeline.session import get_spark
 
     spark = get_spark(master=args.master, app_name="tile_pyramid")
-    geo = fixtures.geotag_df(fixtures.pages_df(spark, args.sf_dir))
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, args.sf_dir)))
     indexed = index.with_tiles(index.with_unit(geo), args.z_min, args.z_max)
-    indexed = indexed.withColumn("feature_id", F.expr(index.feature_id_expr("spark")))
     if args.cap:
         indexed = tiler.cap_features_per_tile(indexed, args.cap)
 

@@ -97,6 +97,49 @@ def with_cell(df: DataFrame, z: int = CELL_Z) -> DataFrame:
     return df.withColumn("cell", F.expr(cell_expr(z, f"({cx})", f"({cy})", "spark")))
 
 
+def hilbert_ctes(
+    z: int, dialect: str, src: str = "grid", keep: tuple[str, ...] = ("url",)
+) -> str:
+    """Chained CTEs computing the order-z Hilbert distance of (hx, hy).
+
+    Unrolls engine.spatial.hilbert.xy2d (one CTE per bit level, s constant
+    per level) so the SAME integer algorithm runs in Spark SQL and DuckDB —
+    the relational twin of the numpy kernel. ``src`` must provide hx, hy
+    plus the ``keep`` passthrough columns; the last CTE is ``h{z}`` with
+    hd = the Hilbert key.
+    """
+    xor_ = (lambda a, b: f"({a} ^ {b})") if dialect == "spark" else (
+        lambda a, b: f"xor({a}, {b})"
+    )
+    cols = ", ".join(keep)
+    parts = [f"h0 AS (SELECT {cols}, hx, hy, CAST(0 AS BIGINT) AS hd FROM {src})"]
+    prev = "h0"
+    for i in range(z):
+        s = 1 << (z - 1 - i)
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        # ry==0: flip both coords when rx==1, then swap x<->y; ry==1: no-op
+        fx = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        fy = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        cur = f"h{i + 1}"
+        parts.append(
+            f"{cur} AS (SELECT {cols}, "
+            f"CASE WHEN {ry} = 0 THEN {fy} ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN {fx} ELSE hy END AS hy, "
+            f"hd + {s * s} * {xor_(f'(3 * {rx})', ry)} AS hd "
+            f"FROM {prev})"
+        )
+        prev = cur
+    return ", ".join(parts)
+
+
+def with_feature_id(df: DataFrame) -> DataFrame:
+    """Add the stable per-url feature id. Apply BEFORE with_tiles: the sha256
+    hash is per PAGE; computing it after the zoom explode would rerun it
+    once per (page, zoom) row — measured 3x slower on the z0-z14 pyramid."""
+    return df.withColumn("feature_id", F.expr(feature_id_expr("spark")))
+
+
 def feature_id_expr(dialect: str, url: str = "url") -> str:
     """Stable 63-bit feature id from the url hash (uint64 caveat, SURVEY §7.4)."""
     if dialect == "spark":

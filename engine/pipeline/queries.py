@@ -172,6 +172,41 @@ def q_knn_numpy(spark, sf_dir):
     )
 
 
+def q_raster_to_tile(spark, sf_dir):
+    """B10 (vector<->raster reprojection): map each 64x64 raster cell's
+    center to its z6 tile + 4096-grid pixel — pure integer/double math."""
+    df = index.with_unit(_geotagged(spark, sf_dir))
+    df = df.selectExpr(
+        "least(63, greatest(0, cast(floor(v * 64) as bigint))) as grid_row",
+        "least(63, greatest(0, cast(floor(u * 64) as bigint))) as grid_col",
+    ).distinct()
+    return df.selectExpr(
+        "grid_row",
+        "grid_col",
+        "cast(floor((cast(grid_col as double) + 0.5) / 64.0 * 64) as bigint) as tx",
+        "cast(floor((cast(grid_row as double) + 0.5) / 64.0 * 64) as bigint) as ty",
+        "cast((cast(grid_col as double) + 0.5) / 64.0 * 64 * 4096 as bigint) % 4096 as px",
+        "cast((cast(grid_row as double) + 0.5) / 64.0 * 64 * 4096 as bigint) % 4096 as py",
+    )
+
+
+def q_raster_to_tile_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+cellsrc AS (
+  SELECT DISTINCT least(63, greatest(0, CAST(floor(({v}) * 64) AS BIGINT))) AS grid_row,
+         least(63, greatest(0, CAST(floor(({u}) * 64) AS BIGINT))) AS grid_col
+  FROM geotagged)
+SELECT grid_row, grid_col,
+       CAST(floor((CAST(grid_col AS DOUBLE) + 0.5) / 64.0 * 64) AS BIGINT) AS tx,
+       CAST(floor((CAST(grid_row AS DOUBLE) + 0.5) / 64.0 * 64) AS BIGINT) AS ty,
+       CAST((CAST(grid_col AS DOUBLE) + 0.5) / 64.0 * 64 * 4096 AS BIGINT) % 4096 AS px,
+       CAST((CAST(grid_row AS DOUBLE) + 0.5) / 64.0 * 64 * 4096 AS BIGINT) % 4096 AS py
+FROM cellsrc"""
+
+
 def q_raster_counts(spark, sf_dir):
     """B10: vector->raster — page counts on a 64x64 raster grid over the
     unit square, pure integer math."""
@@ -200,20 +235,78 @@ FROM geotagged GROUP BY 1, 2"""
 
 def q_mvt_tiles(spark, sf_dir):
     """B12-B15 flagship: z0-z4 point-tile pyramid, MVT-encoded."""
-    geo = _geotagged(spark, sf_dir)
+    geo = index.with_feature_id(_geotagged(spark, sf_dir))
     df = index.with_tiles(index.with_unit(geo), 0, 4)
-    df = df.withColumn("feature_id", F.expr(index.feature_id_expr("spark")))
     tiles = tiler.encode_point_tiles(df)
     return tiles.select("z", "x", "y", "n_features", "n_bytes", "mvt_sha256")
 
 
 def q_mvt_verify(spark, sf_dir):
     """B16: decode every emitted tile with the engine's own reader."""
-    geo = _geotagged(spark, sf_dir)
+    geo = index.with_feature_id(_geotagged(spark, sf_dir))
     df = index.with_tiles(index.with_unit(geo), 0, 3)
-    df = df.withColumn("feature_id", F.expr(index.feature_id_expr("spark")))
     tiles = tiler.encode_point_tiles(df)
     return tiler.decode_verify_tiles(tiles)
+
+
+HILBERT_Z = 8
+
+
+def _hilbert_grid(spark, sf_dir):
+    df = index.with_unit(_geotagged(spark, sf_dir))
+    df = df.withColumn("hx", F.expr(index.tile_expr("u", str(HILBERT_Z), False)))
+    return df.withColumn("hy", F.expr(index.tile_expr("v", str(HILBERT_Z), False)))
+
+
+def q_hilbert_key(spark, sf_dir):
+    """B7: order-8 Hilbert key per page — the locality-preserving sort key
+    for kNN/output clustering, as unrolled relational bit math."""
+    _hilbert_grid(spark, sf_dir).select("url", "hx", "hy").createOrReplaceTempView(
+        "grid"
+    )
+    return spark.sql(
+        f"WITH {index.hilbert_ctes(HILBERT_Z, 'spark')} "
+        f"SELECT url, hd AS hilbert FROM h{HILBERT_Z}"
+    )
+
+
+def q_hilbert_key_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+grid AS (SELECT url, {index.tile_expr(u, str(HILBERT_Z), True)} AS hx,
+         {index.tile_expr(v, str(HILBERT_Z), True)} AS hy FROM geotagged),
+{index.hilbert_ctes(HILBERT_Z, 'duckdb')}
+SELECT url, hd AS hilbert FROM h{HILBERT_Z}"""
+
+
+def q_hilbert_key_numpy(spark, sf_dir):
+    """B7 fast path: the numpy xy2d kernel over Arrow batches — must equal
+    the unrolled SQL (shares its oracle)."""
+    import pandas as pd
+
+    from engine.spatial import hilbert
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "hilbert": hilbert.xy2d(
+                            HILBERT_Z,
+                            pdf["hx"].to_numpy(),
+                            pdf["hy"].to_numpy(),
+                        ),
+                    }
+                )
+
+    return (
+        _hilbert_grid(spark, sf_dir)
+        .select("url", "hx", "hy")
+        .mapInPandas(compute, "url string, hilbert long")
+    )
 
 
 def q_poly_tile_coverage(spark, sf_dir):
@@ -370,6 +463,45 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the streaming sessionizer):
+    session breaks when >30 min passes between a user's events; classic
+    lag + cumulative-sum window composition."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through TIMESTAMP for the epoch cast
+    # (session tz is UTC — matches DuckDB's naive-as-UTC epoch())
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(secs - F.lag(secs, 1, None).over(w) > 1800, 1).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )
+
+
+def q_event_sessions_sql(sf_dir):
+    return """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS sess_start, MAX(ts) AS sess_end
+FROM sess GROUP BY user_id, session_id"""
+
+
 # -------------------------------------------------- training-data ops -----
 # Dialect-parameterized SQL templates (engine.textops): the Spark side runs
 # the 'spark' instantiation over temp views, the oracle the 'duckdb' one —
@@ -478,8 +610,12 @@ REGISTRY: dict[str, tuple] = {
     "knn_3": (q_knn, q_knn_sql),
     "knn_3_maponly": (q_knn_numpy, q_knn_sql),
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
+    "raster_to_tile": (q_raster_to_tile, q_raster_to_tile_sql),
+    "event_sessions": (q_event_sessions, q_event_sessions_sql),
     "mvt_tiles_z0_4": (q_mvt_tiles, None),
     "mvt_roundtrip_verify": (q_mvt_verify, None),
+    "hilbert_key_z8": (q_hilbert_key, q_hilbert_key_sql),
+    "hilbert_key_numpy": (q_hilbert_key_numpy, q_hilbert_key_sql),
     "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),
     "mvt_polygon_tiles": (q_mvt_polygon_tiles, None),
     "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),

@@ -23,6 +23,19 @@ def get_spark(
     cores = default_parallelism()
     master = master or f"local[{cores}]"
     shuffle = shuffle_partitions or 2 * cores
+    # glibc tunables for the Python workers (inherited via the JVM child
+    # process): without these, every large numpy buffer is a fresh
+    # mmap/fault/zero/munmap cycle — measured 9x slower vectorized encode
+    # inside workers on this kernel. Keep freed memory in the arena instead.
+    if os.environ.get("SPARK_GRAFT_MALLOC_TUNE", "1") != "0":
+        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+        # pyarrow's jemalloc pool returns pages to the OS between batches;
+        # on this VM every first touch of a page costs ~0.4ms (lazy-loaded
+        # guest memory), so per-batch Arrow buffers re-fault constantly.
+        # The system pool rides the retained glibc arena instead (4x faster
+        # buffer churn measured in-worker).
+        os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     return (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -108,34 +108,67 @@ def encode_point_tiles(
     layer_name: str = "pages",
     tag_cols: tuple[tuple[str, str], ...] = (("lang", "string"),),
     extent: int = EXTENT,
+    partition_mode: str = "hash",
 ) -> DataFrame:
-    """(z,x,y,feature_id,px,py,tags...) -> one MVT tile row per (z,x,y)."""
+    """(z,x,y,feature_id,px,py,tags...) -> one MVT tile row per (z,x,y).
+
+    partition_mode: "hash" (default) co-locates each tile with one shuffle
+    pass; "range" (repartitionByRange) additionally orders tiles across
+    partitions for spatial locality of the OUTPUT, at the cost of a range-
+    sampling pass that re-evaluates the upstream lineage — worth it when
+    the input is a materialized table (the resumable job), not when the
+    lineage is an expensive expression pipeline.
+    """
     tag_cols = tuple(tag_cols)
 
     def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+        # The (possibly incomplete) trailing group is carried as a LIST of
+        # chunks and concatenated exactly once when the group completes —
+        # a mega-tile spanning many Arrow batches (z0 holds every feature)
+        # is copied O(1) times, not O(batches) (quadratic carry re-concat
+        # measured 5-40x slower on the z0-z14 pyramid at sf0.1).
+        chunks: list[pd.DataFrame] = []
+
+        def flush():
+            group = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            chunks.clear()
+            return _encode_batch(group, layer_name, tag_cols, extent)
+
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if not len(pdf):
                 continue
             starts = _group_bounds(pdf)
-            # hold back the (possibly incomplete) last group
             tail = int(starts[-1])
-            carry = pdf.iloc[tail:].reset_index(drop=True)
-            body = pdf.iloc[:tail]
+            body_start = 0
+            if chunks:
+                prev = chunks[-1].iloc[-1]
+                first = pdf.iloc[0]
+                same = (
+                    prev["z"] == first["z"]
+                    and prev["x"] == first["x"]
+                    and prev["y"] == first["y"]
+                )
+                if same and len(starts) == 1:
+                    chunks.append(pdf)  # batch is one group: keep carrying
+                    continue
+                if same:
+                    body_start = int(starts[1])
+                    chunks.append(pdf.iloc[:body_start])
+                yield flush()
+            body = pdf.iloc[body_start:tail]
             if len(body):
                 yield _encode_batch(body, layer_name, tag_cols, extent)
-        if carry is not None and len(carry):
-            yield _encode_batch(carry, layer_name, tag_cols, extent)
+            chunks.append(pdf.iloc[tail:])
+        if chunks:
+            yield flush()
 
     cols = ["z", "x", "y", "feature_id", "px", "py"] + [c for c, _ in tag_cols]
-    prepared = (
-        df.select(*cols)
-        .repartitionByRange("z", "x", "y")  # tile key ranges -> locality (B13)
-        .sortWithinPartitions("z", "x", "y", "feature_id")
-    )
+    selected = df.select(*cols)
+    if partition_mode == "range":
+        parted = selected.repartitionByRange("z", "x", "y")  # B13: output locality
+    else:
+        parted = selected.repartition("z", "x", "y")
+    prepared = parted.sortWithinPartitions("z", "x", "y", "feature_id")
     encoded = prepared.mapInPandas(encode_iter, ENCODE_SCHEMA)
     # tile digest JVM-side (codegen'd sha2 over the binary column) — keeps
     # the Python stage free of per-tile hashlib calls

@@ -20,9 +20,8 @@ Z_MAX = 3
 
 
 def _indexed(spark):
-    geo = fixtures.geotag_df(fixtures.pages_df(spark, SF_DIR))
-    df = index.with_tiles(index.with_unit(geo), 0, Z_MAX)
-    return df.withColumn("feature_id", F.expr(index.feature_id_expr("spark")))
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, SF_DIR)))
+    return index.with_tiles(index.with_unit(geo), 0, Z_MAX)
 
 
 def _tiles(spark, out_dir) -> pd.DataFrame:
