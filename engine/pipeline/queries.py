@@ -561,10 +561,16 @@ def q_media_frames(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """exact dedup: sha256(text) groups with >1 doc (hash-groupBy)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """exact dedup: sha256(text) groups with >1 doc (hash-groupBy). The
+    driver corpus has all-distinct texts, so dedupe over documents plus an
+    exact mirror at +200000 ids (same corpus-augmentation trick as the
+    near-dup queries) — every text forms a duplicate group."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.selectExpr("doc_id + 200000 as doc_id", "text")
+    )
     return (
-        docs.withColumn("text_sha", F.sha2("text", 256))
+        corpus.withColumn("text_sha", F.sha2("text", 256))
         .groupBy("text_sha")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -573,8 +579,11 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_exact_sql(sf_dir):
     return """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents)
 SELECT sha256(text) AS text_sha, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
-FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1"""
+FROM corpus GROUP BY sha256(text) HAVING COUNT(*) > 1"""
 
 
 def q_text_stats(spark, sf_dir):

@@ -82,15 +82,16 @@ def _planes_cte() -> str:
     return f"planes(p, {cols}) AS (VALUES {values})"
 
 
-def lsh_buckets_sql(dialect: str) -> str:
-    """vec_id -> 16-bit sign-hash bucket. One join against the 64-row plane
-    table (broadcast), one groupBy vec_id."""
+def lsh_buckets_sql(dialect: str, n_bits: int = N_PLANES) -> str:
+    """vec_id -> n_bits-bit sign-hash bucket. One join against the 64-row
+    plane table (broadcast), one groupBy vec_id. Fewer bits = bigger
+    buckets = higher recall (the ANN path uses 8; the histogram view 16)."""
     dots = ", ".join(
-        f"CAST(SUM(c.q * pl.h{j}) AS BIGINT) AS d{j}" for j in range(N_PLANES)
+        f"CAST(SUM(c.q * pl.h{j}) AS BIGINT) AS d{j}" for j in range(n_bits)
     )
     bucket = " + ".join(
         f"(CASE WHEN d{j} > 0 THEN {shiftl(dialect, 'CAST(1 AS BIGINT)', str(j))} ELSE 0 END)"
-        for j in range(N_PLANES)
+        for j in range(n_bits)
     )
     return f"""
 WITH {_comp_cte(dialect)},
@@ -111,9 +112,9 @@ def lsh_bucket_histogram_sql(dialect: str) -> str:
 
 def lsh_topk_sql(dialect: str, k: int = 3, n_queries: int = N_QUERIES) -> str:
     """ANN: exact cosine ranked WITHIN the query's LSH bucket only (the
-    scale path — candidate set ~ n/2^16 per bucket instead of n)."""
+    scale path — candidate set ~ n/2^8 per bucket instead of n)."""
     return f"""
-WITH b AS ({lsh_buckets_sql(dialect)}),
+WITH b AS ({lsh_buckets_sql(dialect, n_bits=8)}),
 {_comp_cte(dialect)},
 cand AS (
   SELECT qa.vec_id AS query_id, qb.vec_id AS vec_id
