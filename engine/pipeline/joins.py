@@ -107,6 +107,56 @@ SELECT url, poly_id FROM crossings WHERE c % 2 = 1
 """
 
 
+def pip_join_numpy(geotagged: DataFrame, polys: list[dict]) -> DataFrame:
+    """PIP join, map-only path: the polygon table (small dim side) ships to
+    every task; each Arrow batch bbox-prefilters then vector-ray-casts in
+    numpy (engine.spatial.pip — the SAME IEEE expression as CROSSING_COND,
+    so this shares pip_join's oracle). Zero shuffle: at cluster scale this
+    is a pure map over the pages table while the polygon set fits memory.
+
+    ``polys``: fixtures.polygons_np output (rings per polygon).
+    """
+    from engine.spatial import pip as pipmod
+
+    prepared = [
+        (
+            int(p["poly_id"]),
+            [np.asarray(r, dtype=np.float64) for r in p["rings"]],
+            pipmod.bbox_of(p["rings"]),
+        )
+        for p in polys
+    ]
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            urls = pdf["url"].to_numpy()
+            out_urls, out_pids = [], []
+            for pid, rings, (x0, y0, x1, y1) in prepared:
+                m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+                if not m.any():
+                    continue
+                idx = np.flatnonzero(m)
+                inside = pipmod.points_in_polygon(lon[idx], lat[idx], rings)
+                sel = idx[inside]
+                if len(sel):
+                    out_urls.append(urls[sel])
+                    out_pids.append(np.full(len(sel), pid, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "url": np.concatenate(out_urls) if out_urls else [],
+                    "poly_id": np.concatenate(out_pids) if out_pids else [],
+                }
+            )
+
+    return geotagged.select("url", "lat", "lon").mapInPandas(
+        compute, "url string, poly_id long"
+    )
+
+
 KNN_CELL_DEG = 22.5  # default degree-grid cell width for candidate gen
 
 

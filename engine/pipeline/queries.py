@@ -137,6 +137,13 @@ def q_pip_join_sql(sf_dir):
     return joins.pip_oracle_sql(_spatial_ctes(sf_dir, want_edges=True))
 
 
+def q_pip_join_numpy(spark, sf_dir):
+    """B8 alternate: map-only PIP (broadcast polygons, numpy batch
+    ray-cast, zero shuffle). Same oracle as pip_join."""
+    polys = fixtures.polygons_np(fixtures.poly_count_for(sf_dir))
+    return joins.pip_join_numpy(_geotagged(spark, sf_dir), polys)
+
+
 def q_pip_counts(spark, sf_dir):
     """pages-per-polygon aggregate over the PIP join."""
     return (
@@ -615,6 +622,7 @@ REGISTRY: dict[str, tuple] = {
     "pyramid_rollup": (q_pyramid_rollup, q_pyramid_rollup_sql),
     "cell_index_z12": (q_cell_index, q_cell_index_sql),
     "pip_join": (q_pip_join, q_pip_join_sql),
+    "pip_join_maponly": (q_pip_join_numpy, q_pip_join_sql),
     "pip_counts": (q_pip_counts, q_pip_counts_sql),
     "knn_3": (q_knn, q_knn_sql),
     "knn_3_maponly": (q_knn_numpy, q_knn_sql),
