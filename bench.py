@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
 # headline throughput cases used for the scaling comparison
-SCALING_CASES = ("geotag_hash_x10", "mvt_pyramid_z0_14", "pip_join")
+SCALING_CASES = ("geotag_hash_x10", "mvt_pyramid_z0_14", "pip_join", "pip_join_maponly")
 
 
 def _cases():
