@@ -238,7 +238,8 @@ FROM geotagged GROUP BY 1, 2"""
 
 # ------------------------------------------------------------------ MVT ---
 # Non-SQL-expressible (binary protobuf sink) -> rows-only driver check;
-# byte-level correctness is covered by tests/test_tiler_spark.py.
+# byte-level correctness is covered by tests/test_fastpoints.py,
+# tests/test_polytiler.py, and tests/test_manifest_resume.py.
 
 def q_mvt_tiles(spark, sf_dir):
     """B12-B15 flagship: z0-z4 point-tile pyramid, MVT-encoded."""
@@ -345,6 +346,13 @@ def q_mvt_polygon_tiles(spark, sf_dir):
     byte/winding correctness in tests/test_polytiler.py."""
     tiles = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 5)
     return tiles.select("z", "x", "y", "n_features", "n_bytes", "mvt_sha256")
+
+
+def q_mvt_polygon_verify(spark, sf_dir):
+    """B16 for the polygon layers: decode every emitted polygon/outline
+    tile with the engine's own reader (rows-only)."""
+    tiles = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 4)
+    return tiler.decode_verify_tiles(tiles)
 
 
 # ------------------------------------------------------------ relational --
@@ -539,6 +547,9 @@ q_lsh_hist, q_lsh_hist_sql = _sql_template(
 q_ann_lsh_topk, q_ann_lsh_topk_sql = _sql_template(
     similarity.lsh_topk_sql, ("embeddings",)
 )
+q_emb_near_dup, q_emb_near_dup_sql = _sql_template(
+    similarity.embedding_near_dup_sql, ("embeddings",)
+)
 q_lang_id, q_lang_id_sql = _sql_template(analysis.lang_scores_sql)
 q_token_stats, q_token_stats_sql = _sql_template(analysis.token_stats_sql)
 q_quality, q_quality_sql = _sql_template(analysis.quality_score_sql)
@@ -635,6 +646,7 @@ REGISTRY: dict[str, tuple] = {
     "hilbert_key_numpy": (q_hilbert_key_numpy, q_hilbert_key_sql),
     "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),
     "mvt_polygon_tiles": (q_mvt_polygon_tiles, None),
+    "mvt_polygon_verify": (q_mvt_polygon_verify, None),
     "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),
     "top_customers_per_nation": (q_top_customers, q_top_customers_sql),
     "order_rollup": (q_order_rollup, q_order_rollup_sql),
@@ -650,6 +662,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk_maponly": (q_ann_maponly, q_ann_topk_sql),
     "ann_lsh_buckets": (q_lsh_hist, q_lsh_hist_sql),
     "ann_lsh_topk": (q_ann_lsh_topk, q_ann_lsh_topk_sql),
+    "embedding_near_dup": (q_emb_near_dup, q_emb_near_dup_sql),
     "lang_id": (q_lang_id, q_lang_id_sql),
     "token_stats": (q_token_stats, q_token_stats_sql),
     "quality_score": (q_quality, q_quality_sql),

@@ -137,6 +137,29 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+def embedding_near_dup_sql(dialect: str, threshold: float = 0.3) -> str:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidate gen (8-bit)
+    + exact quantized-cosine verify >= threshold. The standard near-dup
+    mining shape — candidates via equi-join, never all-pairs. (The synthetic
+    corpus has no true duplicates; threshold picks up the similar tail.)"""
+    return f"""
+WITH b AS ({lsh_buckets_sql(dialect, n_bits=8)}),
+{_comp_cte(dialect)},
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
+  FROM pairs p JOIN comp ca ON ca.vec_id = p.vec_a
+  JOIN comp cb ON cb.vec_id = p.vec_b AND cb.p = ca.p
+  GROUP BY p.vec_a, p.vec_b)
+SELECT d.vec_a, d.vec_b,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots d JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {threshold}"""
+
+
 # ------------------------------------------------------- numpy fast path --
 
 def topk_numpy_df(spark, sf_dir: str, k: int = 3, n_queries: int = N_QUERIES):
