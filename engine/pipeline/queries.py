@@ -73,7 +73,10 @@ def q_tile_counts(spark, sf_dir):
     return df.groupBy("z", "x", "y").agg(F.count("*").alias("n_pages"))
 
 
-def q_tile_counts_sql(sf_dir):
+def _tile_counts_sql(sf_dir, z_lo: int, z_hi: int, alias: str, extra: str = "") -> str:
+    """Per-tile page counts in DuckDB — the shared twin for the pyramid
+    rollup AND the MVT binary-sink queries (the point tiler emits exactly
+    one feature per page per tile, so per-tile n_features == this count)."""
     u = index.unit_u_expr()
     v = index.unit_v_expr()
     return f"""
@@ -81,8 +84,12 @@ WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
 zoomed AS (
   SELECT g.url, z.z, {index.tile_expr(u, 'z.z', True)} AS x,
          {index.tile_expr(v, 'z.z', True)} AS y
-  FROM geotagged g CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS z) z)
-SELECT z, x, y, COUNT(*) AS n_pages FROM zoomed GROUP BY z, x, y"""
+  FROM geotagged g CROSS JOIN (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z) z)
+SELECT z, x, y, COUNT(*) AS {alias}{extra} FROM zoomed GROUP BY z, x, y"""
+
+
+def q_tile_counts_sql(sf_dir):
+    return _tile_counts_sql(sf_dir, 0, 14, "n_pages")
 
 
 def q_pyramid_rollup(spark, sf_dir):
@@ -237,24 +244,43 @@ FROM geotagged GROUP BY 1, 2"""
 
 
 # ------------------------------------------------------------------ MVT ---
-# Non-SQL-expressible (binary protobuf sink) -> rows-only driver check;
-# byte-level correctness is covered by tests/test_fastpoints.py,
-# tests/test_polytiler.py, and tests/test_manifest_resume.py.
+# The binary protobuf sink itself has no SQL twin, but its auditable
+# PROJECTION does: the point tiler emits exactly one feature per page per
+# tile, so (z,x,y,n_features) equals the DuckDB per-tile page count — the
+# full encode still runs inside mapInPandas (column pruning can drop the
+# mvt column only AFTER the UDF has produced the bytes), so the oracle
+# genuinely audits the encoder's grouping + feature emission. Byte-level
+# correctness is covered by tests/test_fastpoints.py, tests/test_polytiler.py
+# and tests/test_manifest_resume.py.
 
 def q_mvt_tiles(spark, sf_dir):
-    """B12-B15 flagship: z0-z4 point-tile pyramid, MVT-encoded."""
+    """B12-B15 flagship: z0-z4 point-tile pyramid, MVT-encoded; auditable
+    projection (z,x,y,n_features) vs the tile-counts DuckDB twin."""
     geo = index.with_feature_id(_geotagged(spark, sf_dir))
     df = index.with_tiles(index.with_unit(geo), 0, 4)
     tiles = tiler.encode_point_tiles(df)
-    return tiles.select("z", "x", "y", "n_features", "n_bytes", "mvt_sha256")
+    return tiles.select("z", "x", "y", "n_features")
+
+
+def q_mvt_tiles_sql(sf_dir):
+    return _tile_counts_sql(sf_dir, 0, 4, "n_features")
 
 
 def q_mvt_verify(spark, sf_dir):
-    """B16: decode every emitted tile with the engine's own reader."""
+    """B16: decode every emitted tile with the engine's own reader; the
+    DECODED per-tile feature count must reproduce the DuckDB page count
+    (encode -> wire bytes -> decode round trip, checked relationally)."""
     geo = index.with_feature_id(_geotagged(spark, sf_dir))
     df = index.with_tiles(index.with_unit(geo), 0, 3)
     tiles = tiler.encode_point_tiles(df)
-    return tiler.decode_verify_tiles(tiles)
+    ver = tiler.decode_verify_tiles(tiles)
+    return ver.select(
+        "z", "x", "y", F.col("n_features_decoded").alias("n_features"), "ok"
+    )
+
+
+def q_mvt_verify_sql(sf_dir):
+    return _tile_counts_sql(sf_dir, 0, 3, "n_features", extra=", TRUE AS ok")
 
 
 HILBERT_Z = 8
@@ -573,9 +599,20 @@ def q_media_metadata_sql(sf_dir):
 
 
 def q_media_frames(spark, sf_dir):
-    """Frame sampling fan-out: one row per sampled frame with its binary
-    payload (rows-only check — binary fan-out has no SQL twin)."""
-    return multimodal.frame_sample_df(fixtures.pages_df(spark, sf_dir))
+    """Frame sampling fan-out: one row per sampled frame; the binary frame
+    payload is projected to (sha256, byte length) so the DuckDB twin can
+    hash-check the exact slices."""
+    frames = multimodal.frame_sample_df(fixtures.pages_df(spark, sf_dir))
+    return frames.selectExpr(
+        "url",
+        "frame_idx",
+        "sha2(frame, 256) as frame_sha",
+        "cast(length(frame) as bigint) as frame_bytes",
+    )
+
+
+def q_media_frames_sql(sf_dir):
+    return multimodal.frame_sample_sql(fixtures.pages_cte(sf_dir))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -640,8 +677,8 @@ REGISTRY: dict[str, tuple] = {
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
     "raster_to_tile": (q_raster_to_tile, q_raster_to_tile_sql),
     "event_sessions": (q_event_sessions, q_event_sessions_sql),
-    "mvt_tiles_z0_4": (q_mvt_tiles, None),
-    "mvt_roundtrip_verify": (q_mvt_verify, None),
+    "mvt_tiles_z0_4": (q_mvt_tiles, q_mvt_tiles_sql),
+    "mvt_roundtrip_verify": (q_mvt_verify, q_mvt_verify_sql),
     "hilbert_key_z8": (q_hilbert_key, q_hilbert_key_sql),
     "hilbert_key_numpy": (q_hilbert_key_numpy, q_hilbert_key_sql),
     "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),
@@ -668,5 +705,5 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (q_quality, q_quality_sql),
     "fingerprint_winnow": (q_fingerprint, q_fingerprint_sql),
     "media_metadata": (q_media_metadata, q_media_metadata_sql),
-    "media_frames": (q_media_frames, None),
+    "media_frames": (q_media_frames, q_media_frames_sql),
 }

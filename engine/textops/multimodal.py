@@ -85,26 +85,51 @@ FROM m"""
 
 
 def frame_sample_df(pages, frame_len: int = 16):
-    """One row per sampled frame: (url, frame_idx, frame binary). The frame
-    payload is a deterministic byte slice — the plumbing (binary fan-out
-    through Arrow, per-frame rows) is what a real frame sampler needs."""
+    """One row per sampled frame: (url, frame_idx, frame binary).
 
-    def run(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = {"url": [], "frame_idx": [], "frame": []}
-            metas = _fake_decode(pdf)
-            for url, payload, nf in zip(
-                pdf["url"], pdf["html"], metas["n_frames"]
-            ):
-                step = max(1, (len(payload) - frame_len) // max(nf, 1))
-                for i in range(nf):
-                    rows["url"].append(url)
-                    rows["frame_idx"].append(i)
-                    rows["frame"].append(bytes(payload[i * step : i * step + frame_len]))
-            yield pd.DataFrame(rows)
-
-    return pages.select("url", "html").mapInPandas(
-        run, "url string, frame_idx int, frame binary"
+    Pure JVM plan: n_frames and the frame byte offsets are closed-form over
+    length(html) (the deterministic fake decode), so the fan-out is an
+    explode over a sequence and the slice is a codegen'd substring on the
+    binary column — no Python anywhere, bounded 5x row blowup, scale-safe.
+    A real media sampler would replace the substring with a mapInPandas
+    decode (see real_decode) while keeping this exact fan-out shape:
+    compute offsets vectorized, then slice per frame row.
+    """
+    nf = "(1 + pmod(length(html), 5))"
+    step = f"greatest(1, cast((length(html) - {frame_len}) div {nf} as bigint))"
+    return (
+        pages.selectExpr("url", "html", f"{nf} as n_frames", f"{step} as step")
+        .selectExpr(
+            "url",
+            "html",
+            "step",
+            "explode(sequence(0, n_frames - 1)) as frame_idx",
+        )
+        .selectExpr(
+            "url",
+            "frame_idx",
+            f"substring(html, cast(frame_idx * step + 1 as int), {frame_len}) as frame",
+        )
     )
+
+
+def frame_sample_sql(pages_cte: str, frame_len: int = 16) -> str:
+    """Exact DuckDB twin of the frame fan-out, projected to hash-checkable
+    columns (url, frame_idx, frame_sha, frame_bytes). The oracle slices the
+    reconstructed html VARCHAR (DuckDB's sha256/substring take VARCHAR);
+    this equals Spark's byte slicing because the fixture corpus is ASCII
+    (verified over all SFs) so byte offsets == char offsets."""
+    return f"""
+WITH {pages_cte},
+m AS (SELECT url, '<html><body>' || text || '</body></html>' AS payload,
+             CAST(strlen(text) + 26 AS BIGINT) AS n_bytes FROM pages),
+f AS (SELECT url, payload, (1 + n_bytes % 5) AS n_frames,
+             greatest(1, (n_bytes - {frame_len}) // (1 + n_bytes % 5)) AS step
+      FROM m),
+x AS (SELECT url, payload, step,
+             unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM f),
+s AS (SELECT url, frame_idx,
+             substring(payload, CAST(frame_idx * step + 1 AS INT), {frame_len}) AS frame
+      FROM x)
+SELECT url, CAST(frame_idx AS INT) AS frame_idx, sha256(frame) AS frame_sha,
+       CAST(strlen(frame) AS BIGINT) AS frame_bytes FROM s"""
