@@ -31,6 +31,10 @@ from .geomstream import (
     encode_polygon,
     encode_multipolygon,
     signed_area,
+    encode_geo,
+    decode_geo,
+    rawshape_to_json,
+    rawshape_from_json,
 )
 from .tile import encode_tile, decode_tile, encode_layer, encode_value, decode_value, DEFAULT_EXTENT, VERSION
 from . import pbwire

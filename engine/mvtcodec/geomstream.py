@@ -218,12 +218,15 @@ def signed_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
-def decode_polygons(words: np.ndarray, flip_y: bool = False):
+def decode_polygons(words: np.ndarray, flip_y: bool = False, unproject=None):
     """Reference unmarshalPolygons (unmarshal.go:110-153).
 
-    ``flip_y=True`` when the unprojection from tile coords to lat/lng
-    reverses orientation (e.g. WebMercator pixel space, y-down): the winding
-    test then negates, because the reference classifies in unprojected space.
+    The reference classifies winding AFTER unprojection (LoopToS2 on the
+    unprojected loop, unmarshal.go:131-146); pass ``unproject`` to do the
+    same here (loops are returned in unprojected coords). Without it the
+    classification runs on the integer tile coords; ``flip_y=True`` when the
+    unprojection reverses orientation (e.g. WebMercator pixel space, y-down)
+    so the winding test negates.
     """
     polys, pos = [], 0
     sign = -1.0 if flip_y else 1.0
@@ -235,6 +238,8 @@ def decode_polygons(words: np.ndarray, flip_y: bool = False):
         if command_id(words[pos]) != CLOSE_PATH:
             raise ValueError("expecting 'ClosePath' command")
         pos += 1
+        if unproject is not None:
+            loop = np.asarray(unproject(loop.astype(np.float64)), dtype=np.float64)
         closed = np.vstack([loop, loop[:1]])  # GeoJSON loops explicitly closed
         if sign * signed_area(loop) <= 0:  # CW exterior (TurningAngle <= 0)
             polys.append([closed])
@@ -259,3 +264,96 @@ def decode(words, wire_type: int, flip_y: bool = False):
     if wire_type == GEOM_POLYGON:
         return decode_polygons(words, flip_y=flip_y)
     raise ValueError(f"unknown geometry type '{wire_type}'")
+
+
+# ------------------------------------------- pluggable projection (CRS) ---
+# The reference codec never hardcodes a CRS: every vertex goes through a
+# caller-supplied Project func(s2.LatLng) r2.Point on encode
+# (marshal.go:12-13, applied at marshalPositions :173-185) and the inverse
+# Unproject on decode (unmarshal.go:14). These twins take/return (n,2)
+# float64 arrays so the hook stays vectorized.
+
+
+def encode_geo(kind: str, parts, project) -> tuple[int, np.ndarray]:
+    """Encode geometry given in user (unprojected) coordinates with a
+    pluggable per-vertex projection, like reference geometry.Marshal with an
+    injected Project (geometry_test.go:168-172 uses an affine one).
+
+    ``project``: callable (n,2) user coords -> (n,2) projected float coords;
+    the result is int32-truncated (quantize) exactly like marshal.go:187-203.
+    """
+
+    def P(a):
+        out = np.asarray(project(np.asarray(a, dtype=np.float64).reshape(-1, 2)))
+        return quantize(out)
+
+    if kind == "Point":
+        return GEOM_POINT, encode_point(P(parts))
+    if kind == "MultiPoint":
+        return GEOM_POINT, encode_multipoint(P(parts))
+    if kind == "LineString":
+        return GEOM_LINESTRING, encode_linestring(P(parts))
+    if kind == "MultiLineString":
+        return GEOM_LINESTRING, encode_multilinestring([P(p) for p in parts])
+    if kind == "Polygon":
+        return GEOM_POLYGON, encode_polygon([P(r) for r in parts])
+    if kind == "MultiPolygon":
+        return GEOM_POLYGON, encode_multipolygon(
+            [[P(r) for r in poly] for poly in parts]
+        )
+    if kind == "RawShape":
+        return GEOM_UNKNOWN, np.asarray(parts, dtype=np.uint32)
+    raise ValueError(f"unknown type '{kind}'")
+
+
+def decode_geo(words, wire_type: int, unproject):
+    """Decode with a pluggable unprojection (reference Unproject,
+    unmarshal.go:14): coordinates come back in user space, and polygon
+    winding is classified AFTER unprojection like the reference."""
+    words = np.asarray(words, dtype=np.uint32)
+
+    def U(a):
+        return np.asarray(
+            unproject(np.asarray(a, dtype=np.float64).reshape(-1, 2)),
+            dtype=np.float64,
+        )
+
+    if wire_type == GEOM_UNKNOWN:
+        return ("RawShape", words)
+    if wire_type == GEOM_POINT:
+        kind, pts = decode_points(words)
+        if kind == "Point":
+            return (kind, U(pts.reshape(1, 2))[0])
+        return (kind, U(pts))
+    if wire_type == GEOM_LINESTRING:
+        kind, parts = decode_linestrings(words)
+        if kind == "LineString":
+            return (kind, U(parts))
+        return (kind, [U(p) for p in parts])
+    if wire_type == GEOM_POLYGON:
+        return decode_polygons(words, unproject=U)
+    raise ValueError(f"unknown geometry type '{wire_type}'")
+
+
+def rawshape_to_json(words) -> str:
+    """RawShape JSON codec, encode side (reference internal/geometry/
+    raw.go:13-16: json.Marshal of the []uint32 word array)."""
+    import json
+
+    return json.dumps(
+        [int(w) for w in np.asarray(words, dtype=np.uint32)], separators=(",", ":")
+    )
+
+
+def rawshape_from_json(s: str) -> np.ndarray:
+    """RawShape JSON codec, decode side (reference raw.go:18-21), with the
+    uint32 range check Go's json decoder applies to []uint32."""
+    import json
+
+    arr = json.loads(s)
+    if not isinstance(arr, list):
+        raise ValueError("RawShape JSON must be an array")
+    out = np.asarray(arr, dtype=np.int64)
+    if len(out) and ((out < 0).any() or (out > 0xFFFFFFFF).any()):
+        raise ValueError("RawShape word out of uint32 range")
+    return out.astype(np.uint32)

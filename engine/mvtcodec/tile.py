@@ -230,6 +230,10 @@ def decode_layer(data: bytes, start: int, end: int) -> tuple[str, dict]:
                     raise ValueError(f"tag value '{vi}' does not exist in layer")
                 tags.append((keys[ki], values[vi]))
         feature["tags"] = tags
+        if feature["geom_type"] is None:
+            # reference unmarshal.go:133-138: a feature without a Type field
+            # is rejected (after ID/tag validation, matching :54-79 order)
+            raise ValueError("missing geometry type")
         features.append(feature)
     return name, {
         "extent": extent,
