@@ -3,38 +3,47 @@
 Extends the point tiler (tiler.py) to the reference's full geometry menu
 (reference internal/geometry/marshal.go:15-38): each polygon is assigned to
 every tile its bbox covers (JVM-side explode over the x/y ranges — no UDF),
-then per tile the rings are projected to tile-pixel space, clipped to a
-buffered tile rect (Sutherland-Hodgman for rings, Liang-Barsky for the
-outline layer — engine.spatial.clip), quantized by int32 truncation
-(reference internal/geometry/marshal.go:190), winding-checked (exterior CW /
-holes CCW in y-down tile space, so the reference decoder's TurningAngle
-classification reconstructs them — SURVEY §7.4 item 2), and encoded into a
-two-layer tile ("polygons" + "outlines", names sorted by the codec).
+its rings explode to a FLAT vertex stream (one fixed-width row per vertex —
+the Arrow-friendly layout), and one shuffle co-locates each tile's vertices.
+A sorted mapInPandas then runs the whole geometry pipeline BATCHED in numpy
+(engine.spatial.clipbatch): Sutherland–Hodgman ring clip and Liang–Barsky
+outline clip across every ring of every tile in an Arrow batch at once,
+quantization by int32 truncation (reference marshal.go:190), winding fix
+(exterior CW / holes CCW in y-down tile space so the reference decoder's
+TurningAngle classification reconstructs them — SURVEY §7.4 item 2), and a
+ragged scatter command-stream encode. Only per-tile protobuf framing stays
+in a Python loop (bounded by tile count, not vertex count).
+
+``encode_polygon_tiles_rowwise`` keeps the original per-row applyInPandas
+encoder as the semantics reference; tests/test_polytiler.py asserts the
+vectorized path is byte-identical to it.
 
 Scale notes: the polygon table is the SMALL side (dims like admin regions:
 10^4-10^6 rows); bbox coverage explodes it by the covered-tile count, which
 grows 4x per zoom — callers bound z_max (mega-coverage guard) exactly like
-real tile pipelines bound polygon zoom. The per-tile group is then a
-broadcast-sized pandas batch; the feature stream never joins against it
-here (that's the PIP join's job, engine.pipeline.joins).
+real tile pipelines bound polygon zoom. The vertex fan-out rides the same
+single shuffle the tile grouping needs anyway.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from engine.mvtcodec import geomstream, tile as tilemod
-from engine.spatial import clip as clipmod
+from engine.spatial import clip as clipmod, clipbatch
 from engine.spatial.mercator import lnglat_to_unit
 
 from . import fixtures
-from .tiler import EXTENT, TILE_SCHEMA
+from .tiler import EXTENT, TILE_SCHEMA, carry_group_iter
 
 BUFFER = 128  # tile-pixel clip buffer around the 0..EXTENT square
+
+FIXTURE_CACHE = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_fixtures")
 
 
 def polygons_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +68,24 @@ def polygons_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def polygons_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-backed polygon table: the pipeline reads a real distributed
+    scan (partition/column pruning, no driver-built rows in the plan). The
+    fixture is materialized once per scale factor; at real scale this is
+    simply the user's polygon table."""
+    n_polys = fixtures.poly_count_for(sf_dir)
+    path = f"{FIXTURE_CACHE}/polygons_{n_polys}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_CACHE, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        polygons_nested_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic publish; losers overwrite equal bytes
+        except OSError:
+            pass
+    return spark.read.parquet(path)
+
+
 def with_covered_tiles(polys: DataFrame, z_min: int, z_max: int) -> DataFrame:
     """One row per (polygon, covered z/x/y) — pure built-in explode/sequence.
 
@@ -77,6 +104,9 @@ def with_covered_tiles(polys: DataFrame, z_min: int, z_max: int) -> DataFrame:
     df = df.withColumn("x", F.explode(F.expr(f"sequence({lo('u0')}, {hi('u1')})")))
     df = df.withColumn("y", F.explode(F.expr(f"sequence({lo('v0')}, {hi('v1')})")))
     return df
+
+
+# --------------------------------------------------- row-wise reference ---
 
 
 def _rings_to_pixels(rings, z: int, x: int, y: int) -> list[np.ndarray]:
@@ -107,6 +137,8 @@ def _orient(ring: np.ndarray, clockwise: bool) -> np.ndarray | None:
 
 
 def _encode_poly_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-tile per-row reference encoder (the original applyInPandas path);
+    kept as the byte-semantics oracle for the vectorized stream encoder."""
     z = int(pdf["z"].iloc[0])
     x = int(pdf["x"].iloc[0])
     y = int(pdf["y"].iloc[0])
@@ -164,17 +196,7 @@ def _encode_poly_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     if line_feats:
         layers["outlines"] = {"extent": EXTENT, "features": line_feats}
     if not layers:
-        return pd.DataFrame(
-            {
-                "z": pd.array([], dtype="int32"),
-                "x": pd.array([], dtype="int64"),
-                "y": pd.array([], dtype="int64"),
-                "mvt": pd.array([], dtype=object),
-                "n_features": pd.array([], dtype="int64"),
-                "n_bytes": pd.array([], dtype="int64"),
-                "mvt_sha256": pd.array([], dtype=object),
-            }
-        )
+        return _EMPTY_TILES.copy()
     data = tilemod.encode_tile(layers)
     return pd.DataFrame(
         {
@@ -189,9 +211,213 @@ def _encode_poly_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_EMPTY_TILES = pd.DataFrame(
+    {
+        "z": pd.array([], dtype="int32"),
+        "x": pd.array([], dtype="int64"),
+        "y": pd.array([], dtype="int64"),
+        "mvt": pd.array([], dtype=object),
+        "n_features": pd.array([], dtype="int64"),
+        "n_bytes": pd.array([], dtype="int64"),
+        "mvt_sha256": pd.array([], dtype=object),
+    }
+)
+
+
+def encode_polygon_tiles_rowwise(
+    spark: SparkSession, sf_dir: str, z_min: int = 0, z_max: int = 6
+) -> DataFrame:
+    """Original applyInPandas formulation (per-tile groups, per-row Python);
+    retained as the test oracle for the vectorized stream path."""
+    covered = with_covered_tiles(polygons_nested_df(spark, sf_dir), z_min, z_max)
+    return covered.groupBy("z", "x", "y").applyInPandas(_encode_poly_tile, TILE_SCHEMA)
+
+
+# --------------------------------------------------- vectorized stream ----
+
+
+def _run_ids(*cols) -> np.ndarray:
+    """Ordinal run ids over a sorted composite key (0..n_runs-1)."""
+    n = len(cols[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in cols:
+        change[1:] |= c[1:] != c[:-1]
+    return np.cumsum(change) - 1
+
+
+def _encode_poly_vertex_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Flat vertex frame (complete tiles, sorted by z,x,y,poly_id,ring_idx,
+    vtx_idx) -> one MVT tile row per (z,x,y). All geometry math batched."""
+    lo, hi = -float(BUFFER), float(EXTENT + BUFFER)
+    z = pdf["z"].to_numpy()
+    x = pdf["x"].to_numpy()
+    y = pdf["y"].to_numpy()
+    pid = pdf["poly_id"].to_numpy()
+    ridx = pdf["ring_idx"].to_numpy()
+    u, v = lnglat_to_unit(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+    scale = np.ldexp(np.float64(EXTENT), z.astype(np.int64))  # 4096 * 2^z
+    pts = np.stack(
+        [u * scale - x * float(EXTENT), v * scale - y * float(EXTENT)], axis=1
+    )
+
+    rid = _run_ids(z, x, y, pid, ridx)
+    r_starts = clipbatch.ring_starts(rid)
+    n_rings = len(r_starts)
+    r_tile = _run_ids(z, x, y)[r_starts]  # tile ordinal per ring
+    r_poly = _run_ids(z, x, y, pid)[r_starts]  # feature ordinal per ring
+    r_ext = ridx[r_starts] == 0
+    r_row = r_starts  # a representative input row per ring
+
+    # ---- polygons layer: batched Sutherland-Hodgman + winding fix
+    cpts, crid = clipbatch.clip_rings(pts, rid, lo, lo, hi, hi)
+    q = geomstream.quantize(cpts)
+    poly_feats = np.zeros(0, dtype=np.int64)
+    poly_words = np.empty(0, dtype=np.uint32)
+    poly_woff = np.zeros(1, dtype=np.int64)
+    poly_feat_rings = np.zeros(0, dtype=np.int64)
+    if len(q):
+        c_starts, areas2 = clipbatch.ring_areas2(q, crid)
+        c_sizes = np.append(c_starts[1:], len(q)) - c_starts
+        c_ring = crid[c_starts]  # original ring ordinal per clipped ring
+        valid = (c_sizes >= 3) & (areas2 != 0)
+        # a polygon feature survives iff its exterior ring is valid
+        poly_alive = np.zeros(int(r_poly.max()) + 1 if n_rings else 0, dtype=bool)
+        ext_rings = r_ext[c_ring]
+        poly_alive[r_poly[c_ring[valid & ext_rings]]] = True
+        surv = valid & poly_alive[r_poly[c_ring]]
+        if surv.any():
+            # orientation fix: y-up area>0 == y-down CW; exterior wants CW
+            rev = np.where(ext_rings, areas2 < 0, areas2 > 0)
+            vmask = np.repeat(surv, c_sizes)
+            q2 = clipbatch.reverse_rings(q, crid, rev)[vmask]
+            srid = crid[vmask]
+            poly_words, poly_woff = clipbatch.encode_rings_words(q2, srid, close=True)
+            s_ring = srid[clipbatch.ring_starts(srid)]
+            s_poly = r_poly[s_ring]
+            feat_start = clipbatch.ring_starts(s_poly)
+            poly_feats = s_ring[feat_start]  # representative ring per feature
+            poly_feat_rings = np.append(feat_start, len(s_poly))
+
+    # ---- outlines layer: batched Liang-Barsky + part chaining
+    seg_q = pts[clipbatch.next_index(rid, r_starts)]
+    visible, a, b = clipbatch.clip_segments(pts, seg_q, lo, lo, hi, hi)
+    line_feats = np.zeros(0, dtype=np.int64)
+    line_words = np.empty(0, dtype=np.uint32)
+    line_woff = np.zeros(1, dtype=np.int64)
+    line_feat_parts = np.zeros(1, dtype=np.int64)
+    if visible.any():
+        part_id, new_part = clipbatch.chain_parts(visible, rid, a, b)
+        av, bv = a[visible], b[visible]
+        counts = 1 + new_part.astype(np.int64)  # a only at part starts
+        off = np.empty(len(counts) + 1, dtype=np.int64)
+        off[0] = 0
+        np.cumsum(counts, out=off[1:])
+        ppts = np.empty((off[-1], 2), dtype=np.float64)
+        ppts[off[:-1][new_part]] = av[new_part]
+        ppts[off[1:] - 1] = bv
+        ppid = np.repeat(part_id, counts)
+        pq = geomstream.quantize(ppts)
+        keep = np.ones(len(pq), dtype=bool)
+        keep[1:] = ((pq[1:] != pq[:-1]).any(axis=1)) | (ppid[1:] != ppid[:-1])
+        pq, ppid = pq[keep], ppid[keep]
+        p_starts = clipbatch.ring_starts(ppid)
+        p_sizes = np.append(p_starts[1:], len(pq)) - p_starts
+        p_ring = rid[np.flatnonzero(visible)[new_part]]  # ring per part
+        p_ok = p_sizes >= 2
+        if p_ok.any():
+            pmask = np.repeat(p_ok, p_sizes)
+            pq2, ppid2 = pq[pmask], ppid[pmask]
+            line_words, line_woff = clipbatch.encode_rings_words(
+                pq2, ppid2, close=False
+            )
+            sp_ring = p_ring[p_ok]
+            sp_poly = r_poly[sp_ring]
+            feat_start = clipbatch.ring_starts(sp_poly)
+            line_feats = sp_ring[feat_start]
+            line_feat_parts = np.append(feat_start, len(sp_poly))
+
+    # ---- per-tile protobuf framing (loop bounded by tile count)
+    names = pdf["name"].to_numpy()
+    out = {k: [] for k in ("z", "x", "y", "mvt", "n_features", "n_bytes", "mvt_sha256")}
+    pi = li = 0
+    tiles = {}
+    for i, ring in enumerate(poly_feats):
+        row = int(r_row[ring])
+        feat = {
+            "id": int(pid[row]),
+            "geom_type": geomstream.GEOM_POLYGON,
+            "geometry": poly_words[poly_woff[poly_feat_rings[i]] : poly_woff[poly_feat_rings[i + 1]]],
+            "tags": [("name", ("string", names[row]))],
+        }
+        tiles.setdefault(int(r_tile[ring]), (row, [], []))[1].append(feat)
+    for i, ring in enumerate(line_feats):
+        row = int(r_row[ring])
+        feat = {
+            "id": int(pid[row]),
+            "geom_type": geomstream.GEOM_LINESTRING,
+            "geometry": line_words[line_woff[line_feat_parts[i]] : line_woff[line_feat_parts[i + 1]]],
+            "tags": [("name", ("string", names[row]))],
+        }
+        tiles.setdefault(int(r_tile[ring]), (row, [], []))[2].append(feat)
+    for tile_ord in sorted(tiles):
+        row, pf, lf = tiles[tile_ord]
+        layers = {}
+        if pf:
+            layers["polygons"] = {"extent": EXTENT, "features": pf}
+        if lf:
+            layers["outlines"] = {"extent": EXTENT, "features": lf}
+        data = tilemod.encode_tile(layers)
+        out["z"].append(int(z[row]))
+        out["x"].append(int(x[row]))
+        out["y"].append(int(y[row]))
+        out["mvt"].append(data)
+        out["n_features"].append(len(pf) + len(lf))
+        out["n_bytes"].append(len(data))
+        out["mvt_sha256"].append(hashlib.sha256(data).hexdigest())
+    if not out["z"]:
+        return _EMPTY_TILES.copy()
+    return pd.DataFrame(
+        {
+            "z": pd.array(out["z"], dtype="int32"),
+            "x": pd.array(out["x"], dtype="int64"),
+            "y": pd.array(out["y"], dtype="int64"),
+            "mvt": out["mvt"],
+            "n_features": pd.array(out["n_features"], dtype="int64"),
+            "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+            "mvt_sha256": out["mvt_sha256"],
+        }
+    )
+
+
+def polygon_vertices(polys: DataFrame, z_min: int, z_max: int) -> DataFrame:
+    """(polygon x covered tile x ring x vertex) flat stream — one explode
+    chain, no join; Catalyst pipelines it into the tile-grouping shuffle."""
+    covered = with_covered_tiles(polys, z_min, z_max)
+    verts = covered.select(
+        "z", "x", "y", "poly_id", "name", F.posexplode("rings").alias("ring_idx", "ring")
+    )
+    # drop the GeoJSON closing duplicate: rings travel OPEN
+    verts = verts.select(
+        "z", "x", "y", "poly_id", "name", "ring_idx",
+        F.posexplode(F.expr("slice(ring, 1, size(ring) - 1)")).alias("vtx_idx", "pt"),
+    )
+    return verts.selectExpr(
+        "z", "x", "y", "poly_id", "name", "ring_idx", "vtx_idx",
+        "pt[0] as lon", "pt[1] as lat",
+    )
+
+
 def encode_polygon_tiles(
     spark: SparkSession, sf_dir: str, z_min: int = 0, z_max: int = 6
 ) -> DataFrame:
-    """Full polygon/outline tile pyramid for the fixture polygon table."""
-    covered = with_covered_tiles(polygons_nested_df(spark, sf_dir), z_min, z_max)
-    return covered.groupBy("z", "x", "y").applyInPandas(_encode_poly_tile, TILE_SCHEMA)
+    """Full polygon/outline tile pyramid: parquet polygon scan -> flat
+    vertex explode -> ONE shuffle on (z,x,y) -> sorted batched encode."""
+    verts = polygon_vertices(polygons_table(spark, sf_dir), z_min, z_max)
+    parted = verts.repartition("z", "x", "y").sortWithinPartitions(
+        "z", "x", "y", "poly_id", "ring_idx", "vtx_idx"
+    )
+    return parted.mapInPandas(
+        lambda batches: carry_group_iter(batches, _encode_poly_vertex_batch),
+        TILE_SCHEMA,
+    )

@@ -345,8 +345,9 @@ def q_hilbert_key_numpy(spark, sf_dir):
 
 def q_poly_tile_coverage(spark, sf_dir):
     """B5/B11 prep: (polygon, covered tile) pairs z0-z6 — the JVM-side
-    bbox-explode that feeds the polygon tiler (no UDF)."""
-    polys = polytiler.polygons_nested_df(spark, sf_dir)
+    bbox-explode that feeds the polygon tiler (no UDF), off the parquet
+    polygon table (real distributed scan)."""
+    polys = polytiler.polygons_table(spark, sf_dir)
     return polytiler.with_covered_tiles(polys, 0, 6).select("poly_id", "z", "x", "y")
 
 

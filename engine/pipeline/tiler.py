@@ -103,6 +103,53 @@ def _encode_batch(
     )
 
 
+def carry_group_iter(batches: Iterator[pd.DataFrame], encode_fn) -> Iterator[pd.DataFrame]:
+    """Drive ``encode_fn`` over frames whose (z,x,y) groups are COMPLETE,
+    given a stream of Arrow batches pre-sorted by (z,x,y,...).
+
+    The (possibly incomplete) trailing group is carried as a LIST of
+    chunks and concatenated exactly once when the group completes — a
+    mega-tile spanning many Arrow batches (z0 holds every feature) is
+    copied O(1) times, not O(batches) (quadratic carry re-concat measured
+    5-40x slower on the z0-z14 pyramid at sf0.1). ``encode_fn`` receives a
+    frame holding one or more complete groups.
+    """
+    chunks: list[pd.DataFrame] = []
+
+    def flush():
+        group = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        chunks.clear()
+        return encode_fn(group)
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        starts = _group_bounds(pdf)
+        tail = int(starts[-1])
+        body_start = 0
+        if chunks:
+            prev = chunks[-1].iloc[-1]
+            first = pdf.iloc[0]
+            same = (
+                prev["z"] == first["z"]
+                and prev["x"] == first["x"]
+                and prev["y"] == first["y"]
+            )
+            if same and len(starts) == 1:
+                chunks.append(pdf)  # batch is one group: keep carrying
+                continue
+            if same:
+                body_start = int(starts[1])
+                chunks.append(pdf.iloc[:body_start])
+            yield flush()
+        body = pdf.iloc[body_start:tail]
+        if len(body):
+            yield encode_fn(body)
+        chunks.append(pdf.iloc[tail:])
+    if chunks:
+        yield flush()
+
+
 def encode_point_tiles(
     df: DataFrame,
     layer_name: str = "pages",
@@ -122,45 +169,9 @@ def encode_point_tiles(
     tag_cols = tuple(tag_cols)
 
     def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # The (possibly incomplete) trailing group is carried as a LIST of
-        # chunks and concatenated exactly once when the group completes —
-        # a mega-tile spanning many Arrow batches (z0 holds every feature)
-        # is copied O(1) times, not O(batches) (quadratic carry re-concat
-        # measured 5-40x slower on the z0-z14 pyramid at sf0.1).
-        chunks: list[pd.DataFrame] = []
-
-        def flush():
-            group = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-            chunks.clear()
-            return _encode_batch(group, layer_name, tag_cols, extent)
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            starts = _group_bounds(pdf)
-            tail = int(starts[-1])
-            body_start = 0
-            if chunks:
-                prev = chunks[-1].iloc[-1]
-                first = pdf.iloc[0]
-                same = (
-                    prev["z"] == first["z"]
-                    and prev["x"] == first["x"]
-                    and prev["y"] == first["y"]
-                )
-                if same and len(starts) == 1:
-                    chunks.append(pdf)  # batch is one group: keep carrying
-                    continue
-                if same:
-                    body_start = int(starts[1])
-                    chunks.append(pdf.iloc[:body_start])
-                yield flush()
-            body = pdf.iloc[body_start:tail]
-            if len(body):
-                yield _encode_batch(body, layer_name, tag_cols, extent)
-            chunks.append(pdf.iloc[tail:])
-        if chunks:
-            yield flush()
+        return carry_group_iter(
+            batches, lambda pdf: _encode_batch(pdf, layer_name, tag_cols, extent)
+        )
 
     cols = ["z", "x", "y", "feature_id", "px", "py"] + [c for c, _ in tag_cols]
     selected = df.select(*cols)

@@ -98,6 +98,16 @@ def test_unclipped_geometry_matches_projection(spark):
     assert checked > 5
 
 
+def test_vectorized_matches_rowwise_bytes(spark):
+    """The batched stream encoder must be BYTE-identical to the per-row
+    applyInPandas reference path (same clip/orient/encode semantics)."""
+    new = polytiler.encode_polygon_tiles(spark, SF_DIR, 0, 4).toPandas()
+    old = polytiler.encode_polygon_tiles_rowwise(spark, SF_DIR, 0, 4).toPandas()
+    kn = {(r.z, r.x, r.y): r.mvt_sha256 for r in new.itertuples()}
+    ko = {(r.z, r.x, r.y): r.mvt_sha256 for r in old.itertuples()}
+    assert kn == ko and len(kn) > 50
+
+
 def test_coverage_superset_of_emitted_tiles(spark):
     cov = (
         polytiler.with_covered_tiles(
