@@ -1,0 +1,162 @@
+"""DuckDB oracle for the polygon/outline MVT tile queries.
+
+The binary tile itself has no SQL twin, but the encoder's auditable
+projection — which (poly, tile) pairs produce a feature in each layer —
+does, because the fixture polygons are CONVEX (fixtures.polygons_np):
+
+- polygons layer: a feature survives in a tile iff the Sutherland-Hodgman
+  clip of its exterior ring against the buffered tile rect has nonzero
+  signed area AFTER int32-truncation quantization (polytiler._orient).
+  For a convex polygon clipped by a rect, the clip output's vertex set is
+  exactly: (V1) polygon vertices inside the rect, (V2) rect corners inside
+  the polygon (even-odd parity), and (V3) polygon-edge x rect-side
+  intersection points within the side's extent; and its cyclic order is
+  the angular order around any interior point (the vertex centroid). The
+  quantized shoelace over that ordered set therefore equals the encoder's
+  area test exactly (duplicates contribute zero).
+- outlines layer: a feature survives iff some ring edge's Liang-Barsky
+  clip is visible with the two clipped endpoints quantizing to different
+  pixels (part chaining never merges distinct quantized runs: interior
+  junctions are bitwise-equal shared vertices, so a part has >= 2 distinct
+  quantized points iff one of its segments does).
+
+Pixel-space arithmetic mirrors the numpy kernels expression-for-expression
+(same IEEE double ops); the predicates only flip when a coordinate sits
+within ulps of an integer boundary — checked empirically green at every SF.
+"""
+
+from __future__ import annotations
+
+from engine.pipeline import fixtures
+
+from .polytiler import BUFFER
+from .tiler import EXTENT
+
+LO = float(-BUFFER)
+HI = float(EXTENT + BUFFER)
+
+
+def _px(lon: str) -> str:
+    """lon -> tile-pixel x for covered-tile row c (u * 4096*2^z - x*4096)."""
+    return (
+        f"((({lon}) + 180.0) / 360.0) * (4096.0 * CAST((1 << c.z) AS DOUBLE)) "
+        f"- CAST(c.x AS DOUBLE) * 4096.0"
+    )
+
+
+def _py(lat: str) -> str:
+    s = f"sin(radians({lat}))"
+    return (
+        f"(0.5 - ln((1.0 + {s}) / (1.0 - {s})) / (4.0 * pi())) "
+        f"* (4096.0 * CAST((1 << c.z) AS DOUBLE)) - CAST(c.y AS DOUBLE) * 4096.0"
+    )
+
+
+def survival_ctes(sf_dir: str, z_min: int, z_max: int) -> str:
+    """CTE chain ending in ``surv(z, x, y, layer)``: one row per surviving
+    (feature, layer, tile)."""
+    n = fixtures.poly_count_for(sf_dir)
+    m = BUFFER / EXTENT
+    return f"""
+{fixtures.polygon_edges_cte(n)},
+{fixtures.polygon_bbox_cte(n)},
+bounds AS (
+  SELECT b.poly_id, z.z,
+         greatest(CAST(0 AS BIGINT), CAST(floor(b.u0 * (1 << z.z) - {m}) AS BIGINT)) AS xlo,
+         least(CAST((1 << z.z) AS BIGINT) - 1, CAST(floor(b.u1 * (1 << z.z) + {m}) AS BIGINT)) AS xhi,
+         greatest(CAST(0 AS BIGINT), CAST(floor(b.v0 * (1 << z.z) - {m}) AS BIGINT)) AS ylo,
+         least(CAST((1 << z.z) AS BIGINT) - 1, CAST(floor(b.v1 * (1 << z.z) + {m}) AS BIGINT)) AS yhi
+  FROM poly_bbox b CROSS JOIN (SELECT unnest(generate_series({z_min}, {z_max})) AS z) z),
+xs AS (SELECT poly_id, z, unnest(generate_series(xlo, xhi)) AS x, ylo, yhi FROM bounds),
+cov AS (SELECT poly_id, z, x, unnest(generate_series(ylo, yhi)) AS y FROM xs),
+pedges AS (
+  SELECT c.poly_id, e.ring_idx, c.z, c.x, c.y,
+         {_px('e.x1')} AS px1, {_py('e.y1')} AS py1,
+         {_px('e.x2')} AS px2, {_py('e.y2')} AS py2
+  FROM cov c JOIN poly_edges e USING (poly_id)),
+lbt AS (
+  SELECT poly_id, z, x, y, px1, py1,
+         px2 - px1 AS dx, py2 - py1 AS dy,
+         greatest(0.0,
+           CASE WHEN px2 - px1 != 0 THEN least(({LO} - px1) / (px2 - px1), ({HI} - px1) / (px2 - px1)) ELSE 0.0 END,
+           CASE WHEN py2 - py1 != 0 THEN least(({LO} - py1) / (py2 - py1), ({HI} - py1) / (py2 - py1)) ELSE 0.0 END) AS t0,
+         least(1.0,
+           CASE WHEN px2 - px1 != 0 THEN greatest(({LO} - px1) / (px2 - px1), ({HI} - px1) / (px2 - px1)) ELSE 1.0 END,
+           CASE WHEN py2 - py1 != 0 THEN greatest(({LO} - py1) / (py2 - py1), ({HI} - py1) / (py2 - py1)) ELSE 1.0 END) AS t1
+  FROM pedges),
+outline AS (
+  SELECT DISTINCT poly_id, z, x, y
+  FROM lbt
+  WHERE t0 <= t1
+    AND (dx != 0 OR (px1 >= {LO} AND px1 <= {HI}))
+    AND (dy != 0 OR (py1 >= {LO} AND py1 <= {HI}))
+    AND (CAST(trunc(px1 + t0 * dx) AS BIGINT) != CAST(trunc(px1 + t1 * dx) AS BIGINT)
+      OR CAST(trunc(py1 + t0 * dy) AS BIGINT) != CAST(trunc(py1 + t1 * dy) AS BIGINT))),
+ext AS (SELECT * FROM pedges WHERE ring_idx = 0),
+v1 AS (
+  SELECT poly_id, z, x, y, px1 AS vx, py1 AS vy FROM ext
+  WHERE px1 >= {LO} AND px1 <= {HI} AND py1 >= {LO} AND py1 <= {HI}),
+corners(cx, cy) AS (VALUES ({LO}, {LO}), ({LO}, {HI}), ({HI}, {LO}), ({HI}, {HI})),
+v2 AS (
+  SELECT e.poly_id, e.z, e.x, e.y, k.cx AS vx, k.cy AS vy
+  FROM ext e CROSS JOIN corners k
+  GROUP BY e.poly_id, e.z, e.x, e.y, k.cx, k.cy
+  HAVING SUM(CASE WHEN ((e.py1 > k.cy) != (e.py2 > k.cy))
+                   AND (k.cx < e.px1 + (k.cy - e.py1) * (e.px2 - e.px1) / (e.py2 - e.py1))
+             THEN 1 ELSE 0 END) % 2 = 1),
+sides(c) AS (VALUES ({LO}), ({HI})),
+v3x AS (
+  SELECT e.poly_id, e.z, e.x, e.y, s.c AS vx,
+         e.py1 + ((s.c - e.px1) / (e.px2 - e.px1)) * (e.py2 - e.py1) AS vy
+  FROM ext e CROSS JOIN sides s
+  WHERE e.px2 - e.px1 != 0
+    AND ((s.c - e.px1) / (e.px2 - e.px1)) >= 0
+    AND ((s.c - e.px1) / (e.px2 - e.px1)) <= 1),
+v3y AS (
+  SELECT e.poly_id, e.z, e.x, e.y,
+         e.px1 + ((s.c - e.py1) / (e.py2 - e.py1)) * (e.px2 - e.px1) AS vx,
+         s.c AS vy
+  FROM ext e CROSS JOIN sides s
+  WHERE e.py2 - e.py1 != 0
+    AND ((s.c - e.py1) / (e.py2 - e.py1)) >= 0
+    AND ((s.c - e.py1) / (e.py2 - e.py1)) <= 1),
+verts AS (
+  SELECT * FROM v1
+  UNION ALL SELECT * FROM v2
+  UNION ALL SELECT * FROM v3x WHERE vy >= {LO} AND vy <= {HI}
+  UNION ALL SELECT * FROM v3y WHERE vx >= {LO} AND vx <= {HI}),
+cent AS (
+  SELECT poly_id, z, x, y, AVG(vx) AS mx, AVG(vy) AS my, COUNT(*) AS n
+  FROM verts GROUP BY 1, 2, 3, 4),
+ordv AS (
+  SELECT v.poly_id, v.z, v.x, v.y, c.n,
+         CAST(trunc(v.vx) AS BIGINT) AS qx, CAST(trunc(v.vy) AS BIGINT) AS qy,
+         ROW_NUMBER() OVER (PARTITION BY v.poly_id, v.z, v.x, v.y
+                            ORDER BY atan2(v.vy - c.my, v.vx - c.mx)) AS rn
+  FROM verts v JOIN cent c USING (poly_id, z, x, y)),
+area AS (
+  SELECT a.poly_id, a.z, a.x, a.y, SUM(a.qx * b.qy - b.qx * a.qy) AS area2
+  FROM ordv a JOIN ordv b
+    ON a.poly_id = b.poly_id AND a.z = b.z AND a.x = b.x AND a.y = b.y
+   AND b.rn = (a.rn % a.n) + 1
+  GROUP BY 1, 2, 3, 4),
+surv AS (
+  SELECT z, x, y, 'polygons' AS layer FROM area WHERE area2 != 0
+  UNION ALL SELECT z, x, y, 'outlines' AS layer FROM outline)"""
+
+
+def polygon_tiles_sql(sf_dir: str, z_min: int, z_max: int) -> str:
+    """Oracle for mvt_polygon_tiles: per-tile total feature count."""
+    return (
+        f"WITH {survival_ctes(sf_dir, z_min, z_max)} "
+        "SELECT z, x, y, COUNT(*) AS n_features FROM surv GROUP BY z, x, y"
+    )
+
+
+def polygon_verify_sql(sf_dir: str, z_min: int, z_max: int) -> str:
+    """Oracle for mvt_polygon_verify: per-(tile, layer) DECODED counts."""
+    return (
+        f"WITH {survival_ctes(sf_dir, z_min, z_max)} "
+        "SELECT z, x, y, layer, COUNT(*) AS n_features "
+        "FROM surv GROUP BY z, x, y, layer"
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import fixtures, index, joins, polytiler, tiler
+from . import fixtures, index, joins, polyoracle, polytiler, tiler
 
 
 def _geotagged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,17 +369,27 @@ SELECT poly_id, z, x, unnest(generate_series(ylo, yhi)) AS y FROM xs"""
 
 def q_mvt_polygon_tiles(spark, sf_dir):
     """B11+B15: polygon + outline layers, clipped (Sutherland-Hodgman /
-    Liang-Barsky), quantized, MVT-encoded. Binary sink -> rows-only check;
-    byte/winding correctness in tests/test_polytiler.py."""
+    Liang-Barsky), quantized, MVT-encoded. Auditable projection
+    (z,x,y,n_features) vs the convex-survival DuckDB twin
+    (engine.pipeline.polyoracle); bytes covered by tests/test_polytiler.py."""
     tiles = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 5)
-    return tiles.select("z", "x", "y", "n_features", "n_bytes", "mvt_sha256")
+    return tiles.select("z", "x", "y", "n_features")
+
+
+def q_mvt_polygon_tiles_sql(sf_dir):
+    return polyoracle.polygon_tiles_sql(sf_dir, 0, 5)
 
 
 def q_mvt_polygon_verify(spark, sf_dir):
     """B16 for the polygon layers: decode every emitted polygon/outline
-    tile with the engine's own reader (rows-only)."""
+    tile with the engine's own reader; per-(tile, layer) decoded feature
+    counts must reproduce the survival oracle."""
     tiles = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 4)
-    return tiler.decode_verify_tiles(tiles)
+    return tiler.decode_layer_counts(tiles)
+
+
+def q_mvt_polygon_verify_sql(sf_dir):
+    return polyoracle.polygon_verify_sql(sf_dir, 0, 4)
 
 
 # ------------------------------------------------------------ relational --
@@ -683,8 +693,8 @@ REGISTRY: dict[str, tuple] = {
     "hilbert_key_z8": (q_hilbert_key, q_hilbert_key_sql),
     "hilbert_key_numpy": (q_hilbert_key_numpy, q_hilbert_key_sql),
     "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),
-    "mvt_polygon_tiles": (q_mvt_polygon_tiles, None),
-    "mvt_polygon_verify": (q_mvt_polygon_verify, None),
+    "mvt_polygon_tiles": (q_mvt_polygon_tiles, q_mvt_polygon_tiles_sql),
+    "mvt_polygon_verify": (q_mvt_polygon_verify, q_mvt_polygon_verify_sql),
     "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),
     "top_customers_per_nation": (q_top_customers, q_top_customers_sql),
     "order_rollup": (q_order_rollup, q_order_rollup_sql),

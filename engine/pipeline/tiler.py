@@ -186,6 +186,31 @@ def encode_point_tiles(
     return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
 
 
+def decode_layer_counts(tiles: DataFrame) -> DataFrame:
+    """Round-trip verification projected per LAYER: decode every emitted
+    tile and count features per layer name — the auditable shape for
+    multi-layer tiles (z, x, y, layer, n_features)."""
+
+    def run(batches):
+        from engine.mvtcodec import tile as tilemod
+
+        for pdf in batches:
+            rows = {"z": [], "x": [], "y": [], "layer": [], "n_features": []}
+            for zz, xx, yy, data in zip(pdf["z"], pdf["x"], pdf["y"], pdf["mvt"]):
+                layers = tilemod.decode_tile(bytes(data))
+                for name in sorted(layers):
+                    rows["z"].append(zz)
+                    rows["x"].append(xx)
+                    rows["y"].append(yy)
+                    rows["layer"].append(name)
+                    rows["n_features"].append(len(layers[name]["features"]))
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        run, "z int, x long, y long, layer string, n_features long"
+    )
+
+
 def decode_verify_tiles(tiles: DataFrame) -> DataFrame:
     """Round-trip verification (B16): decode every emitted tile with the
     engine's own reader, recount features. (z,x,y,n_features,ok,decoded)."""
