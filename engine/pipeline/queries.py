@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import fixtures, index, joins, polyoracle, polytiler, tiler
+from . import fixtures, index, joins, polyoracle, polytiler, tilemerge, tiler
 
 
 def _geotagged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +281,41 @@ def q_mvt_verify(spark, sf_dir):
 
 def q_mvt_verify_sql(sf_dir):
     return _tile_counts_sql(sf_dir, 0, 3, "n_features", extra=", TRUE AS ok")
+
+
+def q_mvt_combined(spark, sf_dir):
+    """B14 layer-merge: the point layer and the polygon/outline layers are
+    encoded as INDEPENDENT streams, then merged into ONE multi-layer tile
+    per (z,x,y) by wire-level layer splicing (engine.pipeline.tilemerge) —
+    the partial-encode -> final-merge path MVT's concatenable layer framing
+    allows. Auditable projection: per-tile total features + layer count."""
+    geo = index.with_feature_id(_geotagged(spark, sf_dir))
+    pts = tiler.encode_point_tiles(index.with_tiles(index.with_unit(geo), 0, 3))
+    polys = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 3)
+    cols = ["z", "x", "y", "mvt", "n_features"]
+    merged = tilemerge.merge_tiles(
+        pts.select(*cols).unionByName(polys.select(*cols))
+    )
+    return merged.select("z", "x", "y", "n_features", "n_layers")
+
+
+def q_mvt_combined_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+zoomed AS (
+  SELECT g.url, z.z, {index.tile_expr(u, 'z.z', True)} AS x,
+         {index.tile_expr(v, 'z.z', True)} AS y
+  FROM geotagged g CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS z) z),
+pagecnt AS (SELECT z, x, y, COUNT(*) AS n FROM zoomed GROUP BY 1, 2, 3),
+{polyoracle.survival_ctes(sf_dir, 0, 3)},
+combined AS (
+  SELECT z, x, y, layer, COUNT(*) AS n FROM surv GROUP BY 1, 2, 3, 4
+  UNION ALL SELECT z, x, y, 'pages' AS layer, n FROM pagecnt)
+SELECT z, x, y, CAST(SUM(n) AS BIGINT) AS n_features,
+       CAST(COUNT(*) AS INT) AS n_layers
+FROM combined GROUP BY 1, 2, 3"""
 
 
 HILBERT_Z = 8
@@ -690,6 +725,7 @@ REGISTRY: dict[str, tuple] = {
     "event_sessions": (q_event_sessions, q_event_sessions_sql),
     "mvt_tiles_z0_4": (q_mvt_tiles, q_mvt_tiles_sql),
     "mvt_roundtrip_verify": (q_mvt_verify, q_mvt_verify_sql),
+    "mvt_combined_tiles": (q_mvt_combined, q_mvt_combined_sql),
     "hilbert_key_z8": (q_hilbert_key, q_hilbert_key_sql),
     "hilbert_key_numpy": (q_hilbert_key_numpy, q_hilbert_key_sql),
     "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),

@@ -57,16 +57,18 @@ def cap_features_per_tile(
     )
 
 
-def _group_bounds(pdf: pd.DataFrame) -> np.ndarray:
-    """Start offsets of each (z,x,y) run in a pre-sorted frame."""
-    z = pdf["z"].to_numpy()
-    x = pdf["x"].to_numpy()
-    y = pdf["y"].to_numpy()
-    change = np.empty(len(z), dtype=bool)
+GROUP_COLS = ("z", "x", "y")
+
+
+def _group_bounds(pdf: pd.DataFrame, cols: tuple[str, ...] = GROUP_COLS) -> np.ndarray:
+    """Start offsets of each group run in a pre-sorted frame."""
+    first = pdf[cols[0]].to_numpy()
+    change = np.empty(len(first), dtype=bool)
     change[0] = True
-    np.logical_or(
-        np.diff(z) != 0, (np.diff(x) != 0) | (np.diff(y) != 0), out=change[1:]
-    )
+    change[1:] = np.diff(first) != 0
+    for c in cols[1:]:
+        v = pdf[c].to_numpy()
+        change[1:] |= np.diff(v) != 0
     return np.flatnonzero(change)
 
 
@@ -75,8 +77,9 @@ def _encode_batch(
     layer_name: str,
     tag_cols,
     extent: int,
+    group_cols: tuple[str, ...] = GROUP_COLS,
 ) -> pd.DataFrame:
-    starts = _group_bounds(pdf)
+    starts = _group_bounds(pdf, group_cols)
     counts = np.diff(np.append(starts, len(pdf)))
     tags = {
         col: (vt, pdf[col].to_numpy(dtype=object if vt == "string" else None))
@@ -103,9 +106,11 @@ def _encode_batch(
     )
 
 
-def carry_group_iter(batches: Iterator[pd.DataFrame], encode_fn) -> Iterator[pd.DataFrame]:
-    """Drive ``encode_fn`` over frames whose (z,x,y) groups are COMPLETE,
-    given a stream of Arrow batches pre-sorted by (z,x,y,...).
+def carry_group_iter(
+    batches: Iterator[pd.DataFrame], encode_fn, cols: tuple[str, ...] = GROUP_COLS
+) -> Iterator[pd.DataFrame]:
+    """Drive ``encode_fn`` over frames whose key groups are COMPLETE,
+    given a stream of Arrow batches pre-sorted by ``cols``.
 
     The (possibly incomplete) trailing group is carried as a LIST of
     chunks and concatenated exactly once when the group completes — a
@@ -124,17 +129,13 @@ def carry_group_iter(batches: Iterator[pd.DataFrame], encode_fn) -> Iterator[pd.
     for pdf in batches:
         if not len(pdf):
             continue
-        starts = _group_bounds(pdf)
+        starts = _group_bounds(pdf, cols)
         tail = int(starts[-1])
         body_start = 0
         if chunks:
             prev = chunks[-1].iloc[-1]
             first = pdf.iloc[0]
-            same = (
-                prev["z"] == first["z"]
-                and prev["x"] == first["x"]
-                and prev["y"] == first["y"]
-            )
+            same = all(prev[c] == first[c] for c in cols)
             if same and len(starts) == 1:
                 chunks.append(pdf)  # batch is one group: keep carrying
                 continue
@@ -184,6 +185,41 @@ def encode_point_tiles(
     # tile digest JVM-side (codegen'd sha2 over the binary column) — keeps
     # the Python stage free of per-tile hashlib calls
     return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
+
+
+def encode_point_tiles_salted(
+    df: DataFrame,
+    n_salt: int = 8,
+    layer_name: str = "pages",
+    tag_cols: tuple[tuple[str, str], ...] = (("lang", "string"),),
+    extent: int = EXTENT,
+) -> DataFrame:
+    """B14 mega-tile path: stage 1 encodes per-(tile, salt) PARTIAL
+    single-layer tiles — the geometry + dictionary heavy lifting for a hot
+    tile (z0 holds every feature) spreads over n_salt tasks instead of one —
+    and stage 2 merges each tile's partials with canonical feature
+    re-framing (engine.pipeline.tilemerge). Output is BYTE-IDENTICAL to the
+    unsalted encoder (tests/test_tiler_cap.py asserts it)."""
+    from . import tilemerge
+
+    tag_cols = tuple(tag_cols)
+    gcols = ("z", "x", "y", "_salt")
+    cols = ["z", "x", "y", "feature_id", "px", "py"] + [c for c, _ in tag_cols]
+    salted = df.select(*cols).withColumn(
+        "_salt", F.pmod(F.xxhash64("feature_id"), F.lit(n_salt))
+    )
+    parted = salted.repartition("z", "x", "y", "_salt").sortWithinPartitions(
+        "z", "x", "y", "_salt", "feature_id"
+    )
+    stage1 = parted.mapInPandas(
+        lambda b: carry_group_iter(
+            b,
+            lambda pdf: _encode_batch(pdf, layer_name, tag_cols, extent, gcols),
+            gcols,
+        ),
+        ENCODE_SCHEMA,
+    )
+    return tilemerge.merge_tiles(stage1)
 
 
 def decode_layer_counts(tiles: DataFrame) -> DataFrame:

@@ -1,0 +1,80 @@
+"""B14 partial-encode + layer-merge: wire-level layer splicing, same-name
+feature re-framing, and salted == unsalted byte identity."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.mvtcodec import geomstream, tile as tilemod
+from engine.pipeline import fixtures, index, tilemerge, tiler
+
+from .conftest import SF_DIR
+
+
+def _feat(fid, xy, tag):
+    return {
+        "id": fid,
+        "geom_type": geomstream.GEOM_POINT,
+        "geometry": geomstream.encode_point(xy),
+        "tags": [("k", ("string", tag))],
+    }
+
+
+def test_merge_distinct_layers_equals_single_encode():
+    la = {"extent": 4096, "features": [_feat(1, (3, 4), "a")]}
+    lb = {"extent": 4096, "features": [_feat(2, (5, 6), "b")]}
+    lc = {"extent": 4096, "features": [_feat(3, (7, 8), "c")]}
+    partial1 = tilemod.encode_tile({"pages": la, "zeta": lc})
+    partial2 = tilemod.encode_tile({"outlines": lb})
+    merged = tilemerge.merge_tile_blobs([partial1, partial2])
+    want = tilemod.encode_tile({"pages": la, "outlines": lb, "zeta": lc})
+    assert merged == want  # byte-identical, layers re-sorted by name
+
+
+def test_merge_same_layer_refames_features():
+    feats = [_feat(i, (i, i + 1), f"t{i % 3}") for i in range(10)]
+    want = tilemod.encode_tile({"pages": {"extent": 4096, "features": feats}})
+    p1 = tilemod.encode_tile(
+        {"pages": {"extent": 4096, "features": [feats[i] for i in (0, 3, 5, 9)]}}
+    )
+    p2 = tilemod.encode_tile(
+        {"pages": {"extent": 4096, "features": [feats[i] for i in (1, 2, 4, 6, 7, 8)]}}
+    )
+    assert tilemerge.merge_tile_blobs([p1, p2]) == want
+    assert tilemerge.merge_tile_blobs([p2, p1]) == want  # order-invariant
+
+
+def test_split_tile_layers_roundtrip():
+    data = tilemod.encode_tile(
+        {
+            "aa": {"extent": 4096, "features": [_feat(1, (0, 0), "x")]},
+            "bb": {"extent": 512, "features": [_feat(2, (1, 1), "y")]},
+        }
+    )
+    parts = tilemerge.split_tile_layers(data)
+    assert [n for n, _ in parts] == ["aa", "bb"]
+    assert tilemerge.merge_tile_blobs([data]) == data
+
+
+def test_salted_encode_byte_identical(spark):
+    """encode_point_tiles_salted (partial per (tile, salt) -> merge) must
+    reproduce the unsalted encoder's bytes exactly, for any n_salt."""
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, SF_DIR)))
+    df = index.with_tiles(index.with_unit(geo), 0, 3)
+    plain = tiler.encode_point_tiles(df).toPandas()
+    want = {(r.z, r.x, r.y): r.mvt_sha256 for r in plain.itertuples()}
+    for n_salt in (1, 4):
+        salted = tiler.encode_point_tiles_salted(df, n_salt=n_salt).toPandas()
+        got = {(r.z, r.x, r.y): r.mvt_sha256 for r in salted.itertuples()}
+        assert got == want, f"n_salt={n_salt}"
+        assert (salted["n_layers"] == 1).all()
+
+
+def test_combined_tiles_decode(spark):
+    """Merged point+polygon tiles decode to the union of the layers."""
+    from engine.pipeline.queries import REGISTRY
+
+    fn, _ = REGISTRY["mvt_combined_tiles"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf["n_layers"] >= 1).all() and (pdf["n_layers"] <= 3).all()
+    assert (pdf["n_layers"] >= 2).any()  # some tile carries both streams
