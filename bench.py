@@ -28,7 +28,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
 # headline throughput cases used for the scaling comparison
-SCALING_CASES = ("geotag_hash_x10", "mvt_pyramid_z0_14", "pip_join", "pip_join_maponly")
+SCALING_CASES = (
+    "geotag_hash_x10",
+    "mvt_pyramid_z0_14",
+    "pip_join",
+    "pip_join_maponly",
+    "knn_3_maponly",
+)
 
 
 def _cases():
@@ -41,9 +47,10 @@ def _cases():
         ("pip_join", Q.q_pip_join),
         ("pip_join_maponly", Q.q_pip_join_numpy),
         ("knn_3", Q.q_knn),
+        ("knn_3_maponly", Q.q_knn_numpy),
         ("mvt_pyramid_z0_14", lambda s, d: _mvt_pyramid(s, d, 0, 14)),
         ("geotag_hash_x10", _geotag_hash_x10),
-        ("mvt_polygon_tiles_z0_6", lambda s, d: Q.q_mvt_polygon_tiles(s, d)),
+        ("mvt_polygon_tiles_z0_6", _polygon_tiles_z0_6),
         ("near_dup_jaccard", Q.q_near_dup),
         ("ann_topk_maponly", Q.q_ann_maponly),
         ("media_metadata", Q.q_media_metadata),
@@ -113,6 +120,12 @@ def _mvt_pyramid(spark, sf_dir, z_min, z_max):
     return tiler.encode_point_tiles(df)
 
 
+def _polygon_tiles_z0_6(spark, sf_dir):
+    from engine.pipeline import polytiler
+
+    return polytiler.encode_polygon_tiles(spark, sf_dir, 0, 6)
+
+
 def _geotag_hash_x10(spark, sf_dir):
     """CPU-dominant scaling case: the sha256 geotag pipeline over pages
     x10, reduced to one row (whole-stage codegen, no shuffle of note, no
@@ -136,8 +149,18 @@ def _subprocess_run(cpus: int, cases) -> dict:
         [sys.executable, os.path.abspath(__file__), "--cases", ",".join(cases)],
         capture_output=True, text=True, env=env, timeout=3600,
     )
-    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"bench child (cpus={cpus}) exited {r.returncode}; stderr tail:\n"
+            + r.stderr[-2000:]
+        )
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench child (cpus={cpus}) produced no JSON; stdout tail:\n"
+            + r.stdout[-2000:]
+        )
+    return json.loads(lines[-1])
 
 
 def _best_of(runs: list[dict]) -> dict:

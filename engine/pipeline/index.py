@@ -133,6 +133,35 @@ def hilbert_ctes(
     return ", ".join(parts)
 
 
+def with_hilbert_key(
+    df: DataFrame, order: int, x_col: str, y_col: str, out: str = "hkey"
+) -> DataFrame:
+    """Order-``order`` Hilbert distance of (x_col, y_col) as chained column
+    rewrites — the DataFrame twin of hilbert_ctes (same unrolled xy2d, one
+    simultaneous withColumns projection per bit level, all JVM codegen)."""
+    df = df.withColumns(
+        {
+            "_hx": F.col(x_col).cast("long"),
+            "_hy": F.col(y_col).cast("long"),
+            out: F.lit(0).cast("long"),
+        }
+    )
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = f"(CASE WHEN (_hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        fx = f"(CASE WHEN {rx} = 1 THEN {s - 1} - _hx ELSE _hx END)"
+        fy = f"(CASE WHEN {rx} = 1 THEN {s - 1} - _hy ELSE _hy END)"
+        df = df.withColumns(
+            {
+                out: F.expr(f"{out} + {s * s} * ((3 * {rx}) ^ {ry})"),
+                "_hx": F.expr(f"CASE WHEN {ry} = 0 THEN {fy} ELSE _hx END"),
+                "_hy": F.expr(f"CASE WHEN {ry} = 0 THEN {fx} ELSE _hy END"),
+            }
+        )
+    return df.drop("_hx", "_hy")
+
+
 def with_feature_id(df: DataFrame) -> DataFrame:
     """Add the stable per-url feature id. Apply BEFORE with_tiles: the sha256
     hash is per PAGE; computing it after the zoom explode would rerun it

@@ -79,12 +79,14 @@ def completed_tiles(spark: SparkSession, manifest_path: str) -> DataFrame | None
 def pending_features(indexed: DataFrame, done: DataFrame | None) -> DataFrame:
     """Drop every feature row whose tile already has a done manifest row.
 
-    The done set is one row per tile -> Spark broadcasts it; the anti join
-    never shuffles the (huge) feature stream.
+    No explicit broadcast hint: the done set is one row per tile, which is
+    usually broadcast-sized, but a full z0-z14 pyramid runs to millions of
+    rows (100s of MB) — let AQE pick broadcast vs shuffled anti join from
+    the measured size instead of forcing driver memory pressure.
     """
     if done is None:
         return indexed
-    return indexed.join(F.broadcast(done), ["z", "x", "y"], "left_anti")
+    return indexed.join(done, ["z", "x", "y"], "left_anti")
 
 
 def run_tile_stage(
@@ -97,8 +99,17 @@ def run_tile_stage(
 ) -> str:
     """Encode all not-yet-done tiles; append tiles + manifest parquet.
 
-    Layout: ``{out_dir}/tiles`` (z,x,y,mvt,...) and ``{out_dir}/manifest``
-    (MANIFEST_SCHEMA), both append-only. Returns the run_id.
+    Layout: ``{out_dir}/tiles`` (run_id,z,x,y,mvt,...) and
+    ``{out_dir}/manifest`` (MANIFEST_SCHEMA), both append-only. Returns the
+    run_id.
+
+    Commit protocol: tile rows are keyed by run_id and the MANIFEST append
+    is the single commit point — a crash between the two writes leaves
+    orphaned tile rows with no 'done' manifest row, which ``read_tiles``
+    filters out (semi join on (run_id,z,x,y)) and the next resume simply
+    re-encodes. Byte determinism makes the retried bytes identical, and the
+    manifest join makes the duplicates invisible, so crash + resume reads
+    byte-identical to a clean run (tests/test_manifest_resume.py).
     """
     from . import tiler
 
@@ -115,11 +126,27 @@ def run_tile_stage(
 
     tiles.persist()
     try:
-        tiles.drop("input_sig").write.mode("append").parquet(f"{out_dir}/tiles")
+        tiles.drop("input_sig").withColumn("run_id", F.lit(run_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/tiles")
+        # the commit point: only tiles named here are visible to readers
         tiles_to_manifest(tiles, run_id).write.mode("append").parquet(manifest_path)
     finally:
         tiles.unpersist()
     return run_id
+
+
+def read_tiles(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed tiles only: join the tile store against the manifest's
+    'done' rows on (run_id, z, x, y), hiding any orphaned rows a crash
+    between the tile and manifest commits may have left behind."""
+    tiles = spark.read.parquet(f"{out_dir}/tiles")
+    done = (
+        spark.read.parquet(f"{out_dir}/manifest")
+        .filter(F.col("status") == "done")
+        .select("run_id", "z", "x", "y")
+    )
+    return tiles.join(done, ["run_id", "z", "x", "y"], "left_semi")
 
 
 def metrics_summary(spark: SparkSession, out_dir: str) -> DataFrame:

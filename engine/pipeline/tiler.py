@@ -161,13 +161,19 @@ def encode_point_tiles(
     """(z,x,y,feature_id,px,py,tags...) -> one MVT tile row per (z,x,y).
 
     partition_mode: "hash" (default) co-locates each tile with one shuffle
-    pass; "range" (repartitionByRange) additionally orders tiles across
-    partitions for spatial locality of the OUTPUT, at the cost of a range-
-    sampling pass that re-evaluates the upstream lineage — worth it when
-    the input is a materialized table (the resumable job), not when the
-    lineage is an expensive expression pipeline.
+    pass; "range" (repartitionByRange on z,x,y) additionally orders tiles
+    across partitions; "hilbert" (SURVEY §4.3 output-locality mode) range-
+    partitions on (z, Hilbert key of x,y) so consecutively written tiles
+    are spatial NEIGHBORS — the write-locality order object stores and tile
+    servers want. Both non-hash modes cost a range-sampling pass that
+    re-evaluates the upstream lineage — worth it when the input is a
+    materialized table (the resumable job), not when the lineage is an
+    expensive expression pipeline. Tile BYTES are identical in every mode
+    (per-tile feature order is fixed by the sort; only cross-tile output
+    order changes) — asserted in tests/test_manifest_resume.py.
     """
     tag_cols = tuple(tag_cols)
+    HILBERT_ORDER = 15  # supports z <= 14: x << (15 - z) stays under 2^15
 
     def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return carry_group_iter(
@@ -176,11 +182,26 @@ def encode_point_tiles(
 
     cols = ["z", "x", "y", "feature_id", "px", "py"] + [c for c, _ in tag_cols]
     selected = df.select(*cols)
-    if partition_mode == "range":
+    if partition_mode == "hilbert":
+        from . import index as indexmod
+
+        keyed = selected.withColumns(
+            {
+                "_gx": F.expr(f"shiftleft(x, {HILBERT_ORDER} - z)"),
+                "_gy": F.expr(f"shiftleft(y, {HILBERT_ORDER} - z)"),
+            }
+        )
+        keyed = indexmod.with_hilbert_key(keyed, HILBERT_ORDER, "_gx", "_gy").drop(
+            "_gx", "_gy"
+        )
+        parted = keyed.repartitionByRange("z", "hkey")
+        prepared = parted.sortWithinPartitions("z", "hkey", "x", "y", "feature_id")
+    elif partition_mode == "range":
         parted = selected.repartitionByRange("z", "x", "y")  # B13: output locality
+        prepared = parted.sortWithinPartitions("z", "x", "y", "feature_id")
     else:
         parted = selected.repartition("z", "x", "y")
-    prepared = parted.sortWithinPartitions("z", "x", "y", "feature_id")
+        prepared = parted.sortWithinPartitions("z", "x", "y", "feature_id")
     encoded = prepared.mapInPandas(encode_iter, ENCODE_SCHEMA)
     # tile digest JVM-side (codegen'd sha2 over the binary column) — keeps
     # the Python stage free of per-tile hashlib calls

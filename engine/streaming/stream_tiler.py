@@ -9,11 +9,17 @@ so the streaming variants follow the standard shapes:
   bounded by the watermark; late pages beyond it are dropped by Spark.
 - stream_encode_tiles: foreachBatch over the same stream — each micro-batch
   runs the BATCH tile encoder (byte-deterministic within the batch) and
-  appends tiles + manifest, i.e. streaming resume shares the batch job's
-  checkpoint manifest exactly.
+  publishes tiles + manifest into per-batch partition directories with
+  mode=overwrite, so Spark's batch REPLAY after a failure rewrites the same
+  batch_id idempotently (byte-identical) instead of duplicating rows; the
+  layout is the batch job's, so manifest.read_tiles / metrics_summary work
+  unchanged on streaming output.
 - sessionize_pages: applyInPandasWithState custom stateful operator —
-  per-site sessions (gap-based), the canonical "operator Spark lacks
-  built-in" example with explicit timeout handling.
+  per-site sessions split on a 30-minute event-time gap (same rule as the
+  batch twin queries.q_event_sessions), with a monotonically increasing
+  session counter carried in state; closed sessions emit immediately, the
+  open one flushes on the processing-time timeout. Event-time ordering is
+  assumed per site (no watermark reordering in this demo operator).
 
 All sources here are file streams (parquet dirs) so the same code path runs
 against cloud object stores; tests drive them with trigger(availableNow).
@@ -66,23 +72,47 @@ def stream_encode_tiles(
     checkpoint: str | None = None,
 ):
     """writeStream.foreachBatch: every micro-batch encodes its pages into
-    per-batch MVT tiles and appends tiles + manifest parquet (the same
-    layout the batch job resumes from)."""
+    per-batch MVT tiles and publishes tiles + manifest parquet.
 
+    Idempotency: a failed/replayed micro-batch re-runs with the SAME
+    batch_id; writing into ``batch_id=<n>`` partition directories with
+    mode=overwrite makes the replay replace its own previous (partial)
+    output — byte-identical thanks to the deterministic encoder — instead
+    of blind-append duplicating it. The manifest rows use
+    run_id='batch-<n>', so the batch job's readers work unchanged."""
     def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        geo = index.with_feature_id(fixtures.geotag_df(batch_df))
-        idx = index.with_tiles(index.with_unit(geo), z_min, z_max)
-        tiles = tiler.encode_point_tiles(idx).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        tiles.write.mode("append").parquet(f"{out_dir}/tiles")
+        encode_pages_batch(batch_df, batch_id, out_dir, z_min, z_max)
 
     writer = pages.writeStream.foreachBatch(encode_batch).outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def encode_pages_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str, z_min: int, z_max: int
+) -> None:
+    """One micro-batch's encode + publish (module-level so tests can replay
+    a batch_id directly and assert idempotency)."""
+    from engine.pipeline import manifest as manifest_mod
+
+    if batch_df.isEmpty():
+        return
+    geo = index.with_feature_id(fixtures.geotag_df(batch_df))
+    idx = index.with_tiles(index.with_unit(geo), z_min, z_max)
+    run_id = f"batch-{batch_id:06d}"
+    sigs = manifest_mod.input_signature(idx)
+    tiles = tiler.encode_point_tiles(idx).join(sigs, ["z", "x", "y"])
+    tiles.persist()
+    try:
+        tiles.drop("input_sig").withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/tiles/batch_id={batch_id}")
+        manifest_mod.tiles_to_manifest(tiles, run_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/manifest/batch_id={batch_id}")
+    finally:
+        tiles.unpersist()
 
 
 SESSION_SCHEMA = (
@@ -92,38 +122,62 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "session_id int, n_pages bigint, first_ts long, last_ts long"
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min, same rule as q_event_sessions
+
+
+def _session_row(site, sid, n, first_us, last_us) -> dict:
+    return {
+        "site": site,
+        "session_id": sid,
+        "n_pages": n,
+        "first_ts": pd.Timestamp(first_us, unit="us"),
+        "last_ts": pd.Timestamp(last_us, unit="us"),
+    }
+
+
 def _sessionize(key, pdfs, state: GroupState):
     """Gap-based sessionizer for one site key (applyInPandasWithState).
 
-    State = (current session id, running count, first/last event micros).
-    A batch's rows extend the open session; the processing-time timeout
-    flushes it. Timestamps are carried as int64 micros inside the state
-    tuple (state schema has no native timestamp support for tuples)."""
+    State = (next-open session id, running count, first/last event micros)
+    for the OPEN session. A batch's rows (event-time sorted) extend it;
+    every >30-minute event-time gap CLOSES the current session (emitted
+    immediately, session ids increment monotonically) and opens the next;
+    the processing-time timeout flushes the final open session. Timestamps
+    travel as int64 micros inside the state tuple (tuple state schemas have
+    no native timestamp type)."""
+    import numpy as np
+
     site = key[0]
     if state.hasTimedOut:
         sid, n, first_us, last_us = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "site": [site],
-                "session_id": [sid],
-                "n_pages": [n],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-            }
-        )
+        yield pd.DataFrame([_session_row(site, sid, n, first_us, last_us)])
         return
     rows = pd.concat(list(pdfs), ignore_index=True)
-    ts = rows["warc_ts"].astype("datetime64[us]")
-    lo = int(ts.min().value // 1000)  # ns -> us
-    hi = int(ts.max().value // 1000)
+    us = np.sort(rows["warc_ts"].astype("datetime64[us]").astype("int64").to_numpy())
     if state.exists:
         sid, n, first_us, last_us = state.get
-        state.update((sid, n + len(rows), min(first_us, lo), max(last_us, hi)))
     else:
-        state.update((0, len(rows), lo, hi))
+        sid, n, first_us, last_us = 0, 0, int(us[0]), int(us[0])
+    prev = np.concatenate([[last_us], us[:-1]])
+    starts = np.flatnonzero(us - prev > SESSION_GAP_US)  # new-session row idx
+    closed = []
+    # segment 0 extends the open session; each later segment starts after a gap
+    for k, seg in enumerate(np.split(us, starts)):
+        if k > 0:
+            if n > 0:
+                closed.append(_session_row(site, sid, n, first_us, last_us))
+                sid += 1
+            n = 0
+        if len(seg):
+            if n == 0:
+                first_us = int(seg[0])
+            n += len(seg)
+            last_us = int(seg[-1])
+    state.update((sid, n, first_us, last_us))
     state.setTimeoutDuration(10_000)
-    # no output until the session closes (timeout branch above)
+    if closed:
+        yield pd.DataFrame(closed)
 
 
 def sessionize_pages(pages: DataFrame) -> DataFrame:

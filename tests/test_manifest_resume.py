@@ -26,7 +26,7 @@ def _indexed(spark):
 
 def _tiles(spark, out_dir) -> pd.DataFrame:
     pdf = (
-        spark.read.parquet(f"{out_dir}/tiles")
+        manifest.read_tiles(spark, out_dir)  # committed view (manifest-joined)
         .select("z", "x", "y", "mvt_sha256", "n_features")
         .toPandas()
     )
@@ -71,6 +71,69 @@ def test_crash_resume_byte_identical(spark, tmp_path):
     )
     sig_crash = m.set_index(["z", "x", "y"])["input_sig"]
     assert sig_crash.sort_index().equals(sig_full.sort_index())
+
+
+def test_crash_between_commits_hidden_by_manifest(spark, tmp_path):
+    """A crash AFTER the tiles append but BEFORE the manifest append leaves
+    orphaned tile rows; the manifest is the single commit point, so the
+    committed view (read_tiles) never sees them and resume re-encodes to a
+    byte-identical result."""
+    from engine.pipeline import tiler
+
+    indexed = _indexed(spark)
+    full_dir = str(tmp_path / "full")
+    manifest.run_tile_stage(spark, indexed, full_dir, run_id="clean")
+    want = _tiles(spark, full_dir)
+
+    crash_dir = str(tmp_path / "crash2")
+    evens = indexed.filter(F.pmod(F.xxhash64("z", "x", "y"), F.lit(2)) == 0)
+    odds = indexed.filter(F.pmod(F.xxhash64("z", "x", "y"), F.lit(2)) == 1)
+    manifest.run_tile_stage(spark, evens, crash_dir, run_id="run1")
+    # simulate the torn write: odd tiles reach the store, manifest does not
+    orphan = tiler.encode_point_tiles(odds).withColumn("run_id", F.lit("crashed"))
+    orphan.write.mode("append").parquet(f"{crash_dir}/tiles")
+
+    manifest.run_tile_stage(spark, indexed, crash_dir, run_id="run2")
+    got = _tiles(spark, crash_dir)
+    pd.testing.assert_frame_equal(got, want)
+    # raw store holds duplicate (z,x,y) rows; the committed view does not
+    raw = spark.read.parquet(f"{crash_dir}/tiles")
+    assert raw.count() > len(want)
+    assert manifest.read_tiles(spark, crash_dir).count() == len(want)
+    m = spark.read.parquet(f"{crash_dir}/manifest").toPandas()
+    assert set(m["run_id"]) == {"run1", "run2"} and len(m) == len(want)
+
+
+def test_partition_modes_byte_identical(spark, tmp_path):
+    """hash vs hilbert output-locality mode: tile BYTES identical, and the
+    hilbert mode writes spatial neighbors consecutively."""
+    from engine.pipeline import tiler
+
+    indexed = _indexed(spark)
+    outs = {}
+    for mode in ("hash", "hilbert"):
+        out = str(tmp_path / mode)
+        manifest.run_tile_stage(
+            spark, indexed, out, run_id=mode, partition_mode=mode
+        )
+        outs[mode] = out
+    pd.testing.assert_frame_equal(_tiles(spark, outs["hash"]), _tiles(spark, outs["hilbert"]))
+
+    # write-locality: mean |dx|+|dy| between consecutively emitted z=Z_MAX
+    # tiles (encode output order) is smaller under hilbert ordering
+    def mean_jump(mode):
+        tiles = tiler.encode_point_tiles(indexed, partition_mode=mode)
+        pdf = tiles.filter(F.col("z") == Z_MAX).select(
+            F.spark_partition_id().alias("p"), "x", "y"
+        ).toPandas()
+        tot = n = 0
+        for _, g in pdf.groupby("p", sort=False):
+            if len(g) > 1:
+                tot += (g["x"].diff().abs() + g["y"].diff().abs()).dropna().sum()
+                n += len(g) - 1
+        return tot / max(n, 1)
+
+    assert mean_jump("hilbert") < mean_jump("hash")
 
 
 def test_resume_noop_when_complete(spark, tmp_path):

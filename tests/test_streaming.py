@@ -79,6 +79,93 @@ def test_stream_encode_tiles_matches_batch_bytes(spark, pages_dir, tmp_path):
         assert layers["pages"]["version"] == 2
 
 
+def test_stream_encode_replay_idempotent(spark, pages_dir, tmp_path):
+    """Spark re-runs a failed micro-batch with the SAME batch_id; the
+    per-batch overwrite publish must make the replay a no-op (identical
+    rows, no duplicates)."""
+    out = str(tmp_path / "replay_tiles")
+    batch = spark.read.parquet(pages_dir).limit(300)
+    stream_tiler.encode_pages_batch(batch, 7, out, 0, 2)
+    first = (
+        spark.read.parquet(f"{out}/tiles")
+        .select("z", "x", "y", "mvt_sha256")
+        .toPandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+    stream_tiler.encode_pages_batch(batch, 7, out, 0, 2)  # replay
+    second = (
+        spark.read.parquet(f"{out}/tiles")
+        .select("z", "x", "y", "mvt_sha256")
+        .toPandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(first, second)
+    assert len(first) == len(first.drop_duplicates(["z", "x", "y"]))
+    # manifest published alongside, queryable by the batch job's readers
+    from engine.pipeline import manifest as manifest_mod
+
+    assert manifest_mod.read_tiles(spark, out).count() == len(first)
+
+
+class _FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _mk_batch(ts_seconds):
+    return [pd.DataFrame({"warc_ts": pd.to_datetime(ts_seconds, unit="s")})]
+
+
+def test_sessionize_gap_split_and_counter():
+    """Unit-level: >30-min gaps close sessions immediately with incrementing
+    ids; the open session flushes on timeout with the NEXT id."""
+    st = _FakeState()
+    m = 60
+    out1 = list(
+        stream_tiler._sessionize(
+            ("site-a",), _mk_batch([0, 5 * m, 10 * m, 90 * m, 95 * m, 200 * m]), st
+        )
+    )
+    rows = pd.concat(out1, ignore_index=True)
+    assert list(rows["session_id"]) == [0, 1]
+    assert list(rows["n_pages"]) == [3, 2]
+    assert st.get[0] == 2 and st.get[1] == 1  # open session id=2, one row
+    # next batch extends the open session (no gap), then times out
+    out2 = list(stream_tiler._sessionize(("site-a",), _mk_batch([201 * m]), st))
+    assert out2 == []
+    assert st.get[0] == 2 and st.get[1] == 2
+    st.hasTimedOut = True
+    flushed = pd.concat(list(stream_tiler._sessionize(("site-a",), None, st)))
+    assert list(flushed["session_id"]) == [2]
+    assert list(flushed["n_pages"]) == [2]
+    assert st.removed
+    # a fresh key after the flush starts at id 0 again with fresh state
+    st2 = _FakeState()
+    list(stream_tiler._sessionize(("site-b",), _mk_batch([0]), st2))
+    assert st2.get[0] == 0 and st2.get[1] == 1
+
+
 def test_sessionize_pages_state(spark, pages_dir, tmp_path):
     """applyInPandasWithState sessionizer: runs incrementally and emits
     closed sessions on timeout; with availableNow the state flushes at
