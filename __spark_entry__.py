@@ -12,14 +12,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine.pipeline.queries import REGISTRY, q_mvt_tiles
+from engine.pipeline.queries import REGISTRY
 
 SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_mvt_tiles(spark, SF0001)
+    """Flagship pipeline on /root/testdata/sf0.001: full binary tile rows
+    (z,x,y,mvt,n_features,n_bytes,mvt_sha256); driver checks rows>0. The
+    registry twin (mvt_tiles_z0_4) projects the oracle-checkable columns."""
+    from engine.pipeline import fixtures, index, tiler
+
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, SF0001)))
+    df = index.with_tiles(index.with_unit(geo), 0, 4)
+    return tiler.encode_point_tiles(df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -188,6 +188,7 @@ def knn_join(
     centers: DataFrame,
     k: int = 3,
     cell_deg: float | None = None,
+    level_mults: tuple[float, ...] = (1.0, 8.0),
 ) -> DataFrame:
     """Exact kNN, scale path (B9): cell-neighbor candidate expansion.
 
@@ -200,11 +201,13 @@ def knn_join(
     brute-force path. Result therefore equals exact kNN — same as the
     oracle — while scaling as a bounded-fanout equi-join.
 
-    The grid cascades through widths (W, 4W, 16W): pages whose top-k is not
-    provable at a level (k-th candidate beyond the level's bound — e.g.
-    polar pages far from the center band) retry at the next coarser level;
-    only the residue crosses with all centers. cell_deg defaults to a
-    density-adaptive W targeting a high verify rate at level 1.
+    The grid cascades through the ``level_mults`` widths (default W, 8W —
+    two levels: each level costs a persist + an anti-join, and the third
+    level's tiny win never repaid its constant factor): pages whose top-k
+    is not provable at a level (k-th candidate beyond the level's bound —
+    e.g. polar pages far from the center band) retry at the next coarser
+    level; only the residue crosses with all centers. cell_deg defaults to
+    a density-adaptive W targeting a high verify rate at level 1.
     """
     if cell_deg is None:
         n_centers = centers.count()  # dimension side: tiny, already driver-known
@@ -215,7 +218,7 @@ def knn_join(
     pages = geotagged.select("url", "lat", "lon").persist()
     resolved = []
     remaining = pages
-    for w in (cell_deg, 4 * cell_deg, 16 * cell_deg):
+    for w in (m * cell_deg for m in level_mults):
         if w >= 120.0:
             break
         cell = f"cast(floor(%s / {w}) as bigint)"
