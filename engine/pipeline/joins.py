@@ -298,7 +298,11 @@ def knn_join_numpy(
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             out_url, out_pid, out_d2, out_rank = [], [], [], []
-            chunk = max(1, (1 << 24) // max(P, 1))  # ~128MB f64 buffers
+            # ~16MB f64 working buffers: small enough that many concurrent
+            # tasks' buffers stay in cache/resident pages (128MB buffers
+            # measured 4x slower at 32 concurrent tasks on the lazy-fault
+            # sandbox VM and thrash LLC on real executors too)
+            chunk = max(1, (1 << 21) // max(P, 1))
             buf = np.empty((min(chunk, len(lon)), P), dtype=np.float64)
             tmp = np.empty_like(buf)
             for s in range(0, len(lon), chunk):
