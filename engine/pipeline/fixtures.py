@@ -97,17 +97,20 @@ def pages_df(spark, sf_dir: str):
     ``text`` passes through byte-identical (the per-row invariant, B2)."""
     reps = replicas_for(sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # The source parquet is a single row group -> one input partition; spread
-    # the exploded pages across the cluster BEFORE the expensive hash/join
-    # stages (explicit partitioning per the north rule). At real scale the
-    # Iceberg scan is already split; this mirrors that.
+    # The source parquet is a single row group -> one input partition.
+    # Repartition the SMALL pre-explode table (docs, KBs of shuffle), then
+    # explode x replicas inside each partition — the old order (explode
+    # then repartition) pushed the full x120 blowup (~600 MB of text at
+    # sf0.1) through one serial scan task and one fat shuffle, which capped
+    # every pages-derived job's scaling. At real scale the Iceberg scan is
+    # already split; this mirrors that.
     n_parts = spark.sparkContext.defaultParallelism
     rows = (
-        docs.selectExpr(
+        docs.repartition(n_parts, "doc_id")
+        .selectExpr(
             f"explode(sequence(0, {reps - 1})) as rep", "doc_id", "text", "lang"
         )
         .selectExpr("doc_id + rep * 100000 as row_id", "text", "lang")
-        .repartition(n_parts, "row_id")
     )
     return rows.selectExpr(
         f"{url_expr('spark')} as url",
