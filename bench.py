@@ -260,9 +260,59 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
     print(json.dumps(summary))
 
 
+def plan_report() -> None:
+    """Dump .explain('formatted') of the headline queries to BENCH/PLANS.md
+    with the scale-relevant properties called out — the plan-shape audit
+    (pushdown, broadcast, single shuffle, codegen spans)."""
+    from contextlib import redirect_stdout
+    import io
+
+    from engine.pipeline.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8, app_name="plans")
+    notes = {
+        "geotag": "pure projection over the parquet scan: ReadSchema prunes to "
+        "the needed columns, sha2/codegen in one WholeStageCodegen span, no shuffle.",
+        "tile_counts_pyramid": "explode + integer tile math stays in codegen; "
+        "ONE hash-aggregate pair (partial_count map-side before the shuffle).",
+        "pip_join": "polygon side exploded to grid cells and BROADCAST twice "
+        "(bbox candidates, then edges); the page stream never shuffles until "
+        "the final partial_sum/count crossing-parity aggregate.",
+        "knn_3_maponly": "zero-shuffle map-only plan: centers collected to a "
+        "broadcast-sized python closure; a single mapInPandas over the scan.",
+        "mvt_pyramid_z0_14": "exactly one wide dependency: repartition(z,x,y) "
+        "+ sortWithinPartitions feeding the vectorized encode mapInPandas; "
+        "feature_id sha2 computed BEFORE the x15 zoom explode.",
+        "mvt_polygon_tiles_z0_6": "parquet polygon scan -> coverage/vertex "
+        "explodes (codegen) -> one repartition(z,x,y) -> batched encode.",
+        "events_asof": "as-of join as union + running last() window: one "
+        "shuffle on the join key, sort-merge-shaped single pass.",
+    }
+    from engine.pipeline import queries as Q
+
+    builders = dict(_cases())
+    builders["tile_counts_pyramid"] = Q.q_tile_counts
+    builders["events_asof"] = Q.q_events_asof
+    lines = ["# PLANS — physical-plan audit of the headline queries", ""]
+    for name, note in notes.items():
+        df = builders[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        lines += [f"## {name}", "", note, "", "```", buf.getvalue().rstrip(), "```", ""]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+    print("wrote BENCH/PLANS.md")
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         scaling_report()
+        return
+    if "--plans" in sys.argv:
+        plan_report()
         return
     case_filter = None
     if "--cases" in sys.argv:

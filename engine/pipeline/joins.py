@@ -157,6 +157,51 @@ def pip_join_numpy(geotagged: DataFrame, polys: list[dict]) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: tuple[str, ...],
+) -> DataFrame:
+    """As-of join: for every left row, the right row with the greatest
+    right.ts <= left.ts within the same ``on`` key — the event-time
+    enrichment operator Spark has no built-in for (DuckDB: ASOF JOIN,
+    which is this operator's oracle).
+
+    Plan: union the two streams with a kind tag (markers sort before
+    events at equal ts -> inclusive semantics) and take a running
+    last(ignorenulls) window over (key, ts, kind). ONE shuffle on the key,
+    a single sorted pass — at 100 TB this is sort-merge-shaped, vs the
+    quadratic blowup of the naive theta-join formulation. ``right`` must
+    be unique per (on, ts); pre-aggregate to enforce.
+    """
+    l_pay = [c for c in left.columns if c not in (on, ts)]
+    lt = left.select(
+        on,
+        ts,
+        F.lit(1).alias("_kind"),
+        *l_pay,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    rt = right.select(
+        on,
+        ts,
+        F.lit(0).alias("_kind"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_pay],
+        *right_cols,
+    )
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_kind") == 1).drop("_kind")
+
+
 KNN_CELL_DEG = 22.5  # default degree-grid cell width for candidate gen
 
 

@@ -550,6 +550,37 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every event enriched with the most recent prior-or-equal
+    'purchase' event of the same user (joins.asof_join — union + running
+    last() window, one shuffle; oracle is DuckDB's native ASOF JOIN)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("marker_id"))
+        .withColumn("marker_ts", F.col("ts"))
+    )
+    enriched = joins.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        markers,
+        on="user_id",
+        ts="ts",
+        right_cols=("marker_id", "marker_ts"),
+    )
+    return enriched.select("event_id", "user_id", "marker_id", "marker_ts")
+
+
+def q_events_asof_sql(sf_dir):
+    return """
+WITH markers AS (
+  SELECT user_id, ts, max(event_id) AS marker_id FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, m.marker_id, m.ts AS marker_ts
+FROM events e ASOF LEFT JOIN markers m
+  ON e.user_id = m.user_id AND e.ts >= m.ts"""
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (batch twin of the streaming sessionizer):
     session breaks when >30 min passes between a user's events; classic
@@ -723,6 +754,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
     "raster_to_tile": (q_raster_to_tile, q_raster_to_tile_sql),
     "event_sessions": (q_event_sessions, q_event_sessions_sql),
+    "events_asof": (q_events_asof, q_events_asof_sql),
     "mvt_tiles_z0_4": (q_mvt_tiles, q_mvt_tiles_sql),
     "mvt_roundtrip_verify": (q_mvt_verify, q_mvt_verify_sql),
     "mvt_combined_tiles": (q_mvt_combined, q_mvt_combined_sql),
