@@ -51,6 +51,8 @@ def _cases():
         ("mvt_pyramid_z0_14", lambda s, d: _mvt_pyramid(s, d, 0, 14)),
         ("geotag_hash_x40", _geotag_hash_x40),
         ("mvt_polygon_tiles_z0_6", _polygon_tiles_z0_6),
+        ("mvt_combined_tiles", Q.q_mvt_combined),
+        ("events_asof", Q.q_events_asof),
         ("near_dup_jaccard", Q.q_near_dup),
         ("ann_topk_maponly", Q.q_ann_maponly),
         ("media_metadata", Q.q_media_metadata),
