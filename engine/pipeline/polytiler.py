@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from engine.mvtcodec import geomstream, tile as tilemod
+from engine.mvtcodec import faststream, geomstream, pbwire, tile as tilemod
 from engine.spatial import clip as clipmod, clipbatch
 from engine.spatial.mercator import lnglat_to_unit
 
@@ -337,42 +337,51 @@ def _encode_poly_vertex_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             line_feats = sp_ring[feat_start]
             line_feat_parts = np.append(feat_start, len(sp_poly))
 
-    # ---- per-tile protobuf framing (loop bounded by tile count)
+    # ---- batched protobuf framing (engine.mvtcodec.faststream): every
+    # varint in the output comes from whole-array passes; only the final
+    # per-tile byte join is a Python loop (bounded by tile count)
     names = pdf["name"].to_numpy()
+    poly_layers: dict[int, bytes] = {}
+    line_layers: dict[int, bytes] = {}
+    n_poly: dict[int, int] = {}
+    n_line: dict[int, int] = {}
+    if len(poly_feats):
+        rows = r_row[poly_feats]
+        poly_layers = faststream.encode_tag1_layers(
+            "polygons", EXTENT, r_tile[poly_feats], pid[rows],
+            geomstream.GEOM_POLYGON, poly_words, poly_woff[poly_feat_rings],
+            "name", list(names[rows]),
+        )
+        t, c = np.unique(r_tile[poly_feats], return_counts=True)
+        n_poly = dict(zip(t.tolist(), c.tolist()))
+    if len(line_feats):
+        rows = r_row[line_feats]
+        line_layers = faststream.encode_tag1_layers(
+            "outlines", EXTENT, r_tile[line_feats], pid[rows],
+            geomstream.GEOM_LINESTRING, line_words, line_woff[line_feat_parts],
+            "name", list(names[rows]),
+        )
+        t, c = np.unique(r_tile[line_feats], return_counts=True)
+        n_line = dict(zip(t.tolist(), c.tolist()))
+    tile_first_row = {}
+    for arr in (poly_feats, line_feats):
+        for ring in arr:
+            tile_first_row.setdefault(int(r_tile[ring]), int(r_row[ring]))
     out = {k: [] for k in ("z", "x", "y", "mvt", "n_features", "n_bytes", "mvt_sha256")}
-    pi = li = 0
-    tiles = {}
-    for i, ring in enumerate(poly_feats):
-        row = int(r_row[ring])
-        feat = {
-            "id": int(pid[row]),
-            "geom_type": geomstream.GEOM_POLYGON,
-            "geometry": poly_words[poly_woff[poly_feat_rings[i]] : poly_woff[poly_feat_rings[i + 1]]],
-            "tags": [("name", ("string", names[row]))],
-        }
-        tiles.setdefault(int(r_tile[ring]), (row, [], []))[1].append(feat)
-    for i, ring in enumerate(line_feats):
-        row = int(r_row[ring])
-        feat = {
-            "id": int(pid[row]),
-            "geom_type": geomstream.GEOM_LINESTRING,
-            "geometry": line_words[line_woff[line_feat_parts[i]] : line_woff[line_feat_parts[i + 1]]],
-            "tags": [("name", ("string", names[row]))],
-        }
-        tiles.setdefault(int(r_tile[ring]), (row, [], []))[2].append(feat)
-    for tile_ord in sorted(tiles):
-        row, pf, lf = tiles[tile_ord]
-        layers = {}
-        if pf:
-            layers["polygons"] = {"extent": EXTENT, "features": pf}
-        if lf:
-            layers["outlines"] = {"extent": EXTENT, "features": lf}
-        data = tilemod.encode_tile(layers)
+    for tile_ord in sorted(tile_first_row):
+        parts = []
+        # layer names sorted: "outlines" < "polygons"
+        if tile_ord in line_layers:
+            parts.append(pbwire.len_delimited(3, line_layers[tile_ord]))
+        if tile_ord in poly_layers:
+            parts.append(pbwire.len_delimited(3, poly_layers[tile_ord]))
+        data = b"".join(parts)
+        row = tile_first_row[tile_ord]
         out["z"].append(int(z[row]))
         out["x"].append(int(x[row]))
         out["y"].append(int(y[row]))
         out["mvt"].append(data)
-        out["n_features"].append(len(pf) + len(lf))
+        out["n_features"].append(n_poly.get(tile_ord, 0) + n_line.get(tile_ord, 0))
         out["n_bytes"].append(len(data))
         out["mvt_sha256"].append(hashlib.sha256(data).hexdigest())
     if not out["z"]:
