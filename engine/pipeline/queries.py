@@ -740,6 +740,33 @@ SELECT doc_id,
 FROM documents"""
 
 
+_BPEISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS}]"  # word / number / single symbol
+
+
+def q_token_regex(spark, sf_dir):
+    """BPE-ish regex token counting (the brief's second tokenizer): words,
+    number runs, and single non-space symbols each count one token —
+    regexp_extract_all stays JVM-side (codegen), no UDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pat = _BPEISH.format(WS="\\\\s")  # spark SQL literal: \\s -> regex \s
+    return docs.selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all(text, '{pat}', 0)) as n_tokens",
+        "size(regexp_extract_all(text, '[A-Za-z]+', 0)) as n_words",
+        "size(regexp_extract_all(text, '[0-9]+', 0)) as n_numbers",
+    )
+
+
+def q_token_regex_sql(sf_dir):
+    pat = _BPEISH.format(WS="\\s")  # duckdb literal passes \s through
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pat}')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+FROM documents"""
+
+
 REGISTRY: dict[str, tuple] = {
     "geotag": (q_geotag, q_geotag_sql),
     "tile_assign_z12": (q_tile_assign, q_tile_assign_sql),
@@ -781,6 +808,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dup": (q_emb_near_dup, q_emb_near_dup_sql),
     "lang_id": (q_lang_id, q_lang_id_sql),
     "token_stats": (q_token_stats, q_token_stats_sql),
+    "token_regex": (q_token_regex, q_token_regex_sql),
     "quality_score": (q_quality, q_quality_sql),
     "fingerprint_winnow": (q_fingerprint, q_fingerprint_sql),
     "media_metadata": (q_media_metadata, q_media_metadata_sql),
