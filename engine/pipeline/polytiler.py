@@ -68,21 +68,28 @@ def polygons_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bump when the fixture generator (fixtures.polygons_np / polygon_bbox_np)
+# changes: the token invalidates any stale /tmp cache from older logic
+FIXTURE_VERSION = "v2-seed42-r6"
+
+
 def polygons_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-backed polygon table: the pipeline reads a real distributed
     scan (partition/column pruning, no driver-built rows in the plan). The
     fixture is materialized once per scale factor; at real scale this is
     simply the user's polygon table."""
     n_polys = fixtures.poly_count_for(sf_dir)
-    path = f"{FIXTURE_CACHE}/polygons_{n_polys}.parquet"
+    path = f"{FIXTURE_CACHE}/polygons_{n_polys}_{FIXTURE_VERSION}.parquet"
     if not os.path.exists(path):
         os.makedirs(FIXTURE_CACHE, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         polygons_nested_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
         try:
-            os.rename(tmp, path)  # atomic publish; losers overwrite equal bytes
+            os.rename(tmp, path)  # atomic publish; losers wrote equal bytes
         except OSError:
-            pass
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # rename lost the race
     return spark.read.parquet(path)
 
 

@@ -16,7 +16,8 @@ layer model /root/reference/layer.go:14). Two merge levels:
   framing are rebuilt over the canonical feature order (sorted by id) —
   so the merged layer is BYTE-IDENTICAL to a single-pass encode (the
   engine's canon: layers sorted by name, features by feature id;
-  tests/test_tiler_cap.py asserts salted == unsalted bytes).
+  tests/test_tilemerge.py::test_salted_encode_byte_identical asserts
+  salted == unsalted bytes).
 """
 
 from __future__ import annotations
@@ -64,10 +65,18 @@ def _merge_layer(name: str, msgs: list[bytes]) -> bytes:
     """Merge same-name partial layers: features re-framed in canonical
     (id) order; geometry words pass through untouched."""
     feats = []
-    extent = tilemod.DEFAULT_EXTENT
+    extent = None
     for msg in msgs:
         _, layer = tilemod.decode_layer(msg, 0, len(msg))
-        extent = layer["extent"]
+        if extent is None:
+            extent = layer["extent"]
+        elif layer["extent"] != extent:
+            # partials quantized on different grids cannot be re-framed
+            # onto one extent without re-quantizing geometry
+            raise ValueError(
+                f"layer '{name}': partials disagree on extent "
+                f"({extent} vs {layer['extent']})"
+            )
         feats.extend(layer["features"])
     feats.sort(key=lambda f: (f["id"] is None, f["id"]))
     return tilemod.encode_layer(name, {"extent": extent, "features": feats})

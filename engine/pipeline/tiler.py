@@ -277,7 +277,7 @@ def encode_point_tiles_salted(
     tile (z0 holds every feature) spreads over n_salt tasks instead of one —
     and stage 2 merges each tile's partials with canonical feature
     re-framing (engine.pipeline.tilemerge). Output is BYTE-IDENTICAL to the
-    unsalted encoder (tests/test_tiler_cap.py asserts it)."""
+    unsalted encoder (tests/test_tilemerge.py asserts it)."""
     from . import tilemerge
 
     tag_cols = tuple(tag_cols)

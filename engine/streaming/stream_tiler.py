@@ -181,7 +181,15 @@ def _sessionize(key, pdfs, state: GroupState):
 
 
 def sessionize_pages(pages: DataFrame) -> DataFrame:
-    """Custom stateful streaming operator: per-site page sessions."""
+    """Custom stateful streaming operator: per-site page sessions.
+
+    Session-id scope: ids increment monotonically only WITHIN one state
+    lifetime — the processing-time timeout flush removes the state, so the
+    next burst for the same site restarts at session_id 0 (unlike the batch
+    twin q_event_sessions, whose numbering spans the whole table). Consumers
+    needing a globally unique session key should key on
+    (site, first_ts) — first_ts is unique per session by construction
+    (a session starts strictly after the previous one's last event)."""
     site = pages.withColumn("site", F.expr("split(url, '/')[2]"))
     return (
         site.groupBy("site")
