@@ -51,6 +51,12 @@ def _cases():
         ("mvt_pyramid_z0_14", lambda s, d: _mvt_pyramid(s, d, 0, 14)),
         ("geotag_hash_x40", _geotag_hash_x40),
         ("mvt_polygon_tiles_z0_6", _polygon_tiles_z0_6),
+        ("pip_join_50k_broadcast", lambda s, d: _pip_50k(s, d, False)),
+        ("pip_join_50k_partitioned", lambda s, d: _pip_50k(s, d, True)),
+        ("pip_join_1m_broadcast", lambda s, d: _pip_1m(s, d, False)),
+        ("pip_join_1m_partitioned", lambda s, d: _pip_1m(s, d, True)),
+        ("knn_3_50k_hybrid", lambda s, d: _knn_50k(s, d, False)),
+        ("knn_3_50k_partitioned", lambda s, d: _knn_50k(s, d, True)),
         ("mvt_combined_tiles", Q.q_mvt_combined),
         ("events_asof", Q.q_events_asof),
         ("near_dup_jaccard", Q.q_near_dup),
@@ -131,6 +137,48 @@ def _polygon_tiles_z0_6(spark, sf_dir):
     from engine.pipeline import polytiler
 
     return polytiler.encode_polygon_tiles(spark, sf_dir, 0, 6)
+
+
+BENCH_POLY_N = 50_000  # ~100x the sf0.1 polygon fixture
+BENCH_POLY_N_XL = 1_000_000  # ~6.2M edges: past any sane broadcast size
+
+
+def _pip_50k(spark, sf_dir, partitioned: bool):
+    """PIP against a 50k-polygon (~362k-edge) dimension table — the
+    broadcast-vs-shuffle crossover calibration point for pip_join_auto.
+    Both variants use a 2-degree candidate grid (density-matched); only the
+    join strategy differs, so the timing delta isolates the strategy."""
+    from engine.pipeline import fixtures, joins
+
+    edges = fixtures.polygon_edges_table(spark, BENCH_POLY_N)
+    geo = fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
+    if partitioned:
+        return joins.pip_join_partitioned(geo, edges, grid_deg=2.0)
+    return joins.pip_join(geo, edges, grid_deg=2.0)
+
+
+def _pip_1m(spark, sf_dir, partitioned: bool):
+    """PIP against a 1M-polygon / 6.2M-edge dimension table (the country-
+    scale OSM regime): the broadcast plan must ship the exploded cell table
+    AND the edge table to every task; the partitioned plan shuffles both
+    sides on (cell, salt) / (poly_id, salt)."""
+    from engine.pipeline import fixtures, joins
+
+    edges = fixtures.polygon_edges_table_bulk(spark, BENCH_POLY_N_XL)
+    geo = fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
+    if partitioned:
+        return joins.pip_join_partitioned(geo, edges, grid_deg=0.5)
+    return joins.pip_join(geo, edges, grid_deg=0.5)
+
+
+def _knn_50k(spark, sf_dir, partitioned: bool):
+    from engine.pipeline import fixtures, joins
+
+    centers = fixtures.polygon_centers_table(spark, BENCH_POLY_N)
+    geo = fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
+    if partitioned:
+        return joins.knn_join_partitioned(geo, centers, k=3)
+    return joins.knn_join(geo, centers, k=3)
 
 
 def _geotag_hash_x40(spark, sf_dir):

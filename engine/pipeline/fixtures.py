@@ -286,3 +286,108 @@ def polygon_centers_cte(n_polys: int, alias: str = "poly_centers") -> str:
         for pid, name, clon, clat in polygon_centers_np(n_polys)
     )
     return f"{alias}(poly_id, name, clon, clat) AS (VALUES {values})"
+
+
+# --------------------------------------------- large-dim bench fixtures ---
+# Parquet-cached polygon-side tables at counts far beyond the per-sf fixture
+# set (e.g. 50k polygons, ~360k edges) — the regime where the broadcast
+# spatial-join plans stop being the right choice and the partitioned
+# (shuffle-both-sides) plans take over. Cached so the generation cost is
+# paid once, and the bench reads a real distributed scan.
+
+import os as _os
+
+FIXTURE_CACHE = _os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_fixtures")
+EDGE_FIXTURE_VERSION = "v1-seed42"
+
+
+def _cached_parquet(spark, path: str, build_pdf):
+    if not _os.path.exists(path):
+        _os.makedirs(FIXTURE_CACHE, exist_ok=True)
+        tmp = f"{path}.tmp-{_os.getpid()}"
+        spark.createDataFrame(build_pdf()).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            _os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def polygon_edges_table(spark, n_polys: int):
+    """polygon_edges_np as a parquet-backed table (big-dim bench side)."""
+    import pandas as pd
+
+    path = f"{FIXTURE_CACHE}/poly_edges_{n_polys}_{EDGE_FIXTURE_VERSION}.parquet"
+
+    def build():
+        rows = polygon_edges_np(n_polys)
+        return pd.DataFrame(
+            rows, columns=["poly_id", "ring_idx", "x1", "y1", "x2", "y2"]
+        )
+
+    return _cached_parquet(spark, path, build)
+
+
+def polygon_centers_table(spark, n_polys: int):
+    import pandas as pd
+
+    path = f"{FIXTURE_CACHE}/poly_centers_{n_polys}_{EDGE_FIXTURE_VERSION}.parquet"
+
+    def build():
+        return pd.DataFrame(
+            polygon_centers_np(n_polys),
+            columns=["poly_id", "name", "clon", "clat"],
+        )
+
+    return _cached_parquet(spark, path, build)
+
+
+def polygon_edges_bulk_np(
+    n_polys: int, r_lo: float, r_hi: float, seed: int = 43
+):
+    """Fully vectorized convex-k-gon edge generator for BENCH-scale
+    dimension tables (10^6+ polygons; per-poly Python loops would take
+    minutes). Radii shrink with density (real admin/land-use polygons are
+    small relative to the globe), keeping candidate fanout bounded. No
+    oracle twin — bench-only fixture."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    k = 4 + np.arange(n_polys, dtype=np.int64) % 5
+    clat = rng.uniform(-60, 60, n_polys)
+    clon = rng.uniform(-170, 170, n_polys)
+    radius = rng.uniform(r_lo, r_hi, n_polys)
+    phase = rng.uniform(0, 2 * np.pi, n_polys)
+    starts = np.cumsum(k) - k
+    poly_of = np.repeat(np.arange(n_polys), k)
+    j = np.arange(int(k.sum()), dtype=np.int64) - starts[poly_of]
+    ang = phase[poly_of] + 2 * np.pi * j / k[poly_of]
+    ang_next = phase[poly_of] + 2 * np.pi * ((j + 1) % k[poly_of]) / k[poly_of]
+    r = radius[poly_of]
+    return pd.DataFrame(
+        {
+            "poly_id": poly_of,
+            "ring_idx": np.zeros(len(poly_of), dtype=np.int32),
+            "x1": np.round(clon[poly_of] + r * np.cos(ang), 6),
+            "y1": np.round(clat[poly_of] + r * np.sin(ang), 6),
+            "x2": np.round(clon[poly_of] + r * np.cos(ang_next), 6),
+            "y2": np.round(clat[poly_of] + r * np.sin(ang_next), 6),
+        }
+    )
+
+
+def polygon_edges_table_bulk(
+    spark, n_polys: int, r_lo: float = 0.05, r_hi: float = 0.4
+):
+    """Parquet-cached bulk edge table (see polygon_edges_bulk_np)."""
+    path = (
+        f"{FIXTURE_CACHE}/poly_edges_bulk_{n_polys}_{r_lo}_{r_hi}_"
+        f"{EDGE_FIXTURE_VERSION}.parquet"
+    )
+    return _cached_parquet(
+        spark, path, lambda: polygon_edges_bulk_np(n_polys, r_lo, r_hi)
+    )

@@ -40,19 +40,22 @@ def poly_bbox(edges: DataFrame) -> DataFrame:
     )
 
 
-def pip_join(geotagged: DataFrame, edges: DataFrame) -> DataFrame:
+def pip_join(
+    geotagged: DataFrame, edges: DataFrame, grid_deg: float | None = None
+) -> DataFrame:
     """(url, poly_id) pairs where the page's point is inside the polygon
     (even-odd over all rings, holes subtract).
 
     Scale path ("prepared ray-casting over cell-bucketed broadcast
-    polygons"): each polygon bbox explodes into the 8-degree grid cells it
+    polygons"): each polygon bbox explodes into the grid cells it
     intersects (broadcast, tiny); pages equi-join on their own cell — a
     HASH join whose fanout is the local polygon density, instead of an
     O(pages x polys) nested-loop range join. The bbox filter then the
-    crossing-parity aggregation keep semantics exact.
+    crossing-parity aggregation keep semantics exact. ``grid_deg`` should
+    shrink as polygon density grows (default 8 deg fits the fixture set).
     """
     bbox = poly_bbox(edges)
-    w = PIP_GRID_DEG
+    w = grid_deg or PIP_GRID_DEG
     bbox_cells = bbox.selectExpr(
         "poly_id", "bx0", "bx1", "by0", "by1",
         f"explode(sequence(cast(floor(bx0 / {w}) as bigint), cast(floor(bx1 / {w}) as bigint))) as gx",
@@ -155,6 +158,93 @@ def pip_join_numpy(geotagged: DataFrame, polys: list[dict]) -> DataFrame:
     return geotagged.select("url", "lat", "lon").mapInPandas(
         compute, "url string, poly_id long"
     )
+
+
+# Broadcast chooser threshold: ~48 bytes/edge row -> ~10 MB at 200k edges,
+# the classic autoBroadcastJoinThreshold regime. Above it the polygon side
+# must shuffle, not ship to every task.
+BROADCAST_EDGE_LIMIT = 200_000
+BROADCAST_CENTER_LIMIT = 100_000
+
+
+def pip_join_partitioned(
+    geotagged: DataFrame,
+    edges: DataFrame,
+    grid_deg: float | None = None,
+    n_salt: int = 4,
+    salt_edges: bool = False,
+) -> DataFrame:
+    """PIP join, shuffle-both-sides path: for polygon tables too large to
+    broadcast (a country-scale OSM table: 10^7 polygons x 10^2 vertices).
+
+    Same decomposition as pip_join — grid-cell candidate equi-join, bbox
+    filter, edge join, crossing-parity aggregate — but the joins are
+    SHUFFLE hash joins: the polygon side is pre-exploded to its grid cells
+    and SALTED (replicated n_salt ways), pages pick one salt by url hash,
+    so a hot cell (urban polygon cluster under a page-dense area) spreads
+    over n_salt reducers instead of one. Salting replicates the polygon
+    side's shuffle bytes x n_salt, so the factor stays small; AQE
+    skew-join is the backstop for residual imbalance. The candidates-x-
+    edges join on poly_id gets the same treatment behind ``salt_edges``
+    (off by default — poly_id skew needs a mega-polygon under a page-dense
+    area AND is already split by the cell salt upstream). Salting only
+    changes routing — output is identical to pip_join, same oracle.
+    """
+    bbox = poly_bbox(edges)
+    w = grid_deg or PIP_GRID_DEG
+    bbox_cells = bbox.selectExpr(
+        "poly_id", "bx0", "bx1", "by0", "by1",
+        f"explode(sequence(cast(floor(bx0 / {w}) as bigint), cast(floor(bx1 / {w}) as bigint))) as gx",
+    ).selectExpr(
+        "poly_id", "bx0", "bx1", "by0", "by1", "gx",
+        f"explode(sequence(cast(floor(by0 / {w}) as bigint), cast(floor(by1 / {w}) as bigint))) as gy",
+    ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    pages_c = geotagged.selectExpr(
+        "url", "lat", "lon",
+        f"cast(floor(lon / {w}) as bigint) as gx",
+        f"cast(floor(lat / {w}) as bigint) as gy",
+    ).withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+    candidates = (
+        pages_c.join(bbox_cells, ["gx", "gy", "_salt"])
+        .filter(
+            (F.col("lon") >= F.col("bx0"))
+            & (F.col("lon") <= F.col("bx1"))
+            & (F.col("lat") >= F.col("by0"))
+            & (F.col("lat") <= F.col("by1"))
+        )
+        .select("url", "lat", "lon", "poly_id", "_salt")
+    )
+    if salt_edges:
+        edges_s = edges.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        paired = candidates.join(edges_s, ["poly_id", "_salt"])
+    else:
+        paired = candidates.drop("_salt").join(edges, "poly_id")
+    crossings = (
+        paired.withColumn(
+            "hit", F.expr(f"CASE WHEN {CROSSING_COND} THEN 1 ELSE 0 END")
+        )
+        .groupBy("url", "poly_id")
+        .agg(F.sum("hit").alias("c"))
+    )
+    return crossings.filter(F.col("c") % 2 == 1).select("url", "poly_id")
+
+
+def pip_join_auto(
+    geotagged: DataFrame, edges: DataFrame, n_edges: int | None = None
+) -> DataFrame:
+    """Size-based chooser between the broadcast and partitioned PIP plans.
+
+    ``n_edges`` is the polygon-side row count — at real scale it comes from
+    table metadata (Iceberg snapshot stats); a count() on the dimension
+    table is the fallback (one cheap metadata-ish job, never on the fact
+    side)."""
+    if n_edges is None:
+        n_edges = edges.count()
+    if n_edges <= BROADCAST_EDGE_LIMIT:
+        return pip_join(geotagged, edges)
+    return pip_join_partitioned(geotagged, edges)
 
 
 def asof_join(
@@ -394,3 +484,91 @@ def knn_join_numpy(
     return geotagged.select("url", "lat", "lon").mapInPandas(
         compute, "url string, poly_id long, dist2 double, rank int"
     )
+
+
+def knn_join_partitioned(
+    geotagged: DataFrame,
+    centers: DataFrame,
+    k: int = 3,
+    cell_deg: float | None = None,
+    level_mults: tuple[float, ...] = (1.0, 4.0, 16.0),
+    n_salt: int = 4,
+) -> DataFrame:
+    """Exact kNN, shuffle-both-sides path: for center tables too large to
+    broadcast or collect (knn_join broadcasts the 3x3-neighbor table and
+    resolves the residue with a driver-collected numpy kernel — both assume
+    the dimension side fits one task's memory).
+
+    Same provably-exact cell-neighbor cascade as knn_join, but the
+    candidate join is a SHUFFLE hash join on (cell, salt): centers explode
+    into their 3x3 neighborhood AND n_salt salt replicas, pages pick one
+    salt by url hash — a hot cell spreads over n_salt reducers. Widening
+    level_mults shrink the residue without any single-task state; the final
+    residue (pages with no provable top-k at any level, e.g. polar pages)
+    is resolved by a plain cross join + window top-k — the residue is the
+    sparse far-from-everything tail, so the cross join is tiny relative to
+    the input. Output equals exact kNN; shares knn_join's oracle.
+    """
+    if cell_deg is None:
+        n_centers = centers.count()  # table-stats surrogate (see pip_join_auto)
+        cell_deg = min(KNN_CELL_DEG, max(2.0, (129900.0 / max(n_centers, 1)) ** 0.5))
+    pages = geotagged.select("url", "lat", "lon").persist()
+    resolved = []
+    remaining = pages
+    for w in (m * cell_deg for m in level_mults):
+        if w >= 120.0:
+            break
+        cell = f"cast(floor(%s / {w}) as bigint)"
+        pages_c = (
+            remaining.withColumn("cx", F.expr(cell % "lon"))
+            .withColumn("cy", F.expr(cell % "lat"))
+            .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+        )
+        neigh = (
+            centers.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+            .selectExpr(
+                "poly_id",
+                "clon",
+                "clat",
+                "_salt",
+                f"{cell % 'clon'} + di as cx",
+                f"{cell % 'clat'} + dj as cy",
+            )
+        )
+        cand = pages_c.join(neigh, ["cx", "cy", "_salt"])
+        top = _topk(cand, k)
+        wu = Window.partitionBy("url")
+        top = top.withColumn("_cnt", F.count("*").over(wu)).withColumn(
+            "_maxd", F.max("dist2").over(wu)
+        )
+        good = (
+            top.filter((F.col("_cnt") == k) & (F.col("_maxd") <= F.lit(w * w)))
+            .select("url", "poly_id", "dist2", "rank")
+            .persist()
+        )
+        resolved.append(good)
+        remaining = remaining.join(
+            good.select("url").distinct(), "url", "left_anti"
+        ).persist()
+    paired = remaining.crossJoin(centers.select("poly_id", "clon", "clat"))
+    out = _topk(paired, k).select("url", "poly_id", "dist2", "rank")
+    for good in resolved:
+        out = out.unionByName(good)
+    return out
+
+
+def knn_join_auto(
+    geotagged: DataFrame,
+    centers: DataFrame,
+    k: int = 3,
+    n_centers: int | None = None,
+) -> DataFrame:
+    """Size-based chooser between the broadcast-hybrid and partitioned kNN
+    plans (same contract as pip_join_auto)."""
+    if n_centers is None:
+        n_centers = centers.count()
+    if n_centers <= BROADCAST_CENTER_LIMIT:
+        return knn_join(geotagged, centers, k)
+    return knn_join_partitioned(geotagged, centers, k)

@@ -151,6 +151,15 @@ def q_pip_join_numpy(spark, sf_dir):
     return joins.pip_join_numpy(_geotagged(spark, sf_dir), polys)
 
 
+def q_pip_partitioned(spark, sf_dir):
+    """B8 scale path: shuffle-both-sides PIP (salted cell equi-join, no
+    broadcast) — the plan for polygon tables beyond broadcast size. Same
+    oracle as pip_join (salting changes routing, not results)."""
+    return joins.pip_join_partitioned(
+        _geotagged(spark, sf_dir), fixtures.polygon_edges_df(spark, sf_dir)
+    )
+
+
 def q_pip_counts(spark, sf_dir):
     """pages-per-polygon aggregate over the PIP join."""
     return (
@@ -182,6 +191,14 @@ def q_knn_numpy(spark, sf_dir):
     """B9 alternate: map-only exact kNN (broadcast centers, numpy batch
     distance matrix, zero shuffle). Same oracle as knn_3."""
     return joins.knn_join_numpy(
+        _geotagged(spark, sf_dir), fixtures.polygon_centers_df(spark, sf_dir), k=3
+    )
+
+
+def q_knn_partitioned(spark, sf_dir):
+    """B9 scale path: shuffle-both-sides kNN cascade + cross-join residue
+    (no broadcast, no driver collect). Same oracle as knn_3."""
+    return joins.knn_join_partitioned(
         _geotagged(spark, sf_dir), fixtures.polygon_centers_df(spark, sf_dir), k=3
     )
 
@@ -775,9 +792,11 @@ REGISTRY: dict[str, tuple] = {
     "cell_index_z12": (q_cell_index, q_cell_index_sql),
     "pip_join": (q_pip_join, q_pip_join_sql),
     "pip_join_maponly": (q_pip_join_numpy, q_pip_join_sql),
+    "pip_join_partitioned": (q_pip_partitioned, q_pip_join_sql),
     "pip_counts": (q_pip_counts, q_pip_counts_sql),
     "knn_3": (q_knn, q_knn_sql),
     "knn_3_maponly": (q_knn_numpy, q_knn_sql),
+    "knn_3_partitioned": (q_knn_partitioned, q_knn_sql),
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
     "raster_to_tile": (q_raster_to_tile, q_raster_to_tile_sql),
     "event_sessions": (q_event_sessions, q_event_sessions_sql),
