@@ -654,7 +654,7 @@ def _sql_template(template_fn, tables=("documents",)):
     return spark_fn, sql_fn
 
 
-from engine.textops import analysis, multimodal, similarity, sqlgen  # noqa: E402
+from engine.textops import analysis, cluster, multimodal, similarity, sqlgen  # noqa: E402
 
 q_lsh_pairs, q_lsh_pairs_sql = _sql_template(sqlgen.lsh_pairs_sql)
 q_near_dup, q_near_dup_sql = _sql_template(sqlgen.near_dup_pairs_sql)
@@ -674,6 +674,21 @@ q_lang_id, q_lang_id_sql = _sql_template(analysis.lang_scores_sql)
 q_token_stats, q_token_stats_sql = _sql_template(analysis.token_stats_sql)
 q_quality, q_quality_sql = _sql_template(analysis.quality_score_sql)
 q_fingerprint, q_fingerprint_sql = _sql_template(analysis.fingerprint_sql)
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: verified pairs -> connected components
+    (iterative hash-min label propagation) -> (doc_id, cluster_id,
+    is_keeper). The operator an LLM dedup pipeline actually executes;
+    oracle = DuckDB WITH RECURSIVE transitive closure."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return cluster.near_dup_clusters_df(spark)
+
+
+def q_near_dup_clusters_sql(sf_dir):
+    return cluster.near_dup_clusters_sql("duckdb")
 
 
 def q_ann_maponly(spark, sf_dir):
@@ -818,6 +833,7 @@ REGISTRY: dict[str, tuple] = {
     "text_stats": (q_text_stats, q_text_stats_sql),
     "minhash_lsh_pairs": (q_lsh_pairs, q_lsh_pairs_sql),
     "near_dup_jaccard": (q_near_dup, q_near_dup_sql),
+    "near_dup_clusters": (q_near_dup_clusters, q_near_dup_clusters_sql),
     "simhash": (q_simhash, q_simhash_sql),
     "simhash_dedup": (q_simhash_dups, q_simhash_dups_sql),
     "ann_topk_exact": (q_ann_topk, q_ann_topk_sql),

@@ -1,0 +1,95 @@
+"""Near-duplicate cluster resolution: connected components + keeper policy.
+
+The LSH/Jaccard stage (engine.textops.sqlgen.near_dup_pairs_sql) emits
+verified PAIRS; a production dedup pipeline must answer "which docs do I
+drop", i.e. resolve pairs into clusters and pick one keeper per cluster.
+
+Spark side: iterative hash-min label propagation at DataFrame level —
+every node starts labeled with its own id; each round every node takes the
+min label over itself and its neighbors; fixpoint = connected components
+with cluster_id = min doc_id in the component. Rounds needed = graph
+diameter (near-dup clusters are shallow — a doc and its rewrites — so a
+handful); each round is one equi-join + one map-side-partial min
+aggregate, both hash-partitioned on doc_id, nothing driver-sized. The
+per-round convergence probe aggregates a single monotone checksum
+(sum of labels: strictly decreasing until fixpoint), so the driver action
+moves O(1) bytes. At 10^12 docs the same loop runs with the pair table
+disk-backed; the classic large-star/small-star variant halves the round
+count but shares this shape.
+
+Keeper policy: keep the smallest doc_id per cluster (is_keeper), the
+deterministic stand-in for "keep the oldest / highest-quality copy".
+
+Oracle: DuckDB WITH RECURSIVE transitive closure over the same pair set,
+labeling each node with the min reachable id — exact, engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sqlgen import docs_aug_cte, near_dup_pairs_sql
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """(doc_id) nodes + (doc_a, doc_b) undirected pairs ->
+    (doc_id, cluster_id, is_keeper); cluster_id = min doc_id reachable."""
+    edges = (
+        pairs.selectExpr("doc_a as src", "doc_b as dst")
+        .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))
+        .persist()
+    )
+    labels = nodes.selectExpr("doc_id", "doc_id as label").persist()
+    prev = None
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.selectExpr("doc_id as dst", "label"), "dst"
+        ).selectExpr("src as doc_id", "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        sig = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if sig == prev:  # sum(labels) strictly decreases until fixpoint
+            break
+        prev = sig
+    edges.unpersist()
+    return labels.selectExpr(
+        "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
+    )
+
+
+def near_dup_clusters_df(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """Full near-dup dedup resolution over the docs_aug corpus: LSH ->
+    Jaccard-verified pairs -> connected components -> keeper flag. Expects
+    the ``documents`` temp view to be registered."""
+    pairs = spark.sql(near_dup_pairs_sql("spark", threshold)).select(
+        "doc_a", "doc_b"
+    )
+    nodes = spark.sql(
+        f"WITH {docs_aug_cte('spark')} SELECT doc_id FROM docs_aug"
+    )
+    return connected_components(nodes, pairs)
+
+
+def near_dup_clusters_sql(dialect: str = "duckdb", threshold: float = 0.5) -> str:
+    """Recursive-CTE oracle: min reachable doc_id over the same pair set."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({near_dup_pairs_sql(dialect, threshold)}) _p),
+docs AS (SELECT doc_id FROM ({(
+    f"WITH {docs_aug_cte(dialect)} SELECT doc_id FROM docs_aug"
+)}) _d),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM labels"""

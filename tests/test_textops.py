@@ -76,3 +76,22 @@ def test_media_frames_rows(spark):
     assert pdf["frame"].map(type).eq(bytes).all() or pdf["frame"].map(
         lambda b: isinstance(b, (bytes, bytearray))
     ).all()
+
+
+def test_connected_components_multihop(spark):
+    """Chain 1-2-3-4 plus isolated 9: labels propagate across hops (takes
+    >1 round), singletons keep themselves, keeper = min id per cluster."""
+    from engine.textops.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 8, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        7: (7, True), 8: (7, False), 9: (9, True),
+    }
