@@ -24,8 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from engine.pipeline import fixtures, index, tiler
 
     geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, SF0001)))
-    df = index.with_tiles(index.with_unit(geo), 0, 4)
-    return tiler.encode_point_tiles(df)
+    # shuffle-lean encoder (byte-identical to encode_point_tiles;
+    # tests/test_tiler_compact.py asserts it)
+    return tiler.encode_point_tiles_compact(index.with_unit(geo), 0, 4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

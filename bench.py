@@ -124,13 +124,13 @@ def run_once(case_filter=None) -> dict:
 
 
 def _mvt_pyramid(spark, sf_dir, z_min, z_max):
-    from pyspark.sql import functions as F
-
+    """Shuffle-lean default (tiler.encode_point_tiles_compact): only
+    (z,u,v,fid,lang) ride the tile shuffle, derived columns reconstruct
+    post-shuffle; bytes identical (tests/test_tiler_compact.py)."""
     from engine.pipeline import fixtures, index, tiler
 
     geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, sf_dir)))
-    df = index.with_tiles(index.with_unit(geo), z_min, z_max)
-    return tiler.encode_point_tiles(df)
+    return tiler.encode_point_tiles_compact(index.with_unit(geo), z_min, z_max)
 
 
 def _polygon_tiles_z0_6(spark, sf_dir):

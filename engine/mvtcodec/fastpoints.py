@@ -197,22 +197,29 @@ def encode_point_tile(
     return pbwire.len_delimited(3, layer)
 
 
-def encode_point_tiles_sorted(
+def encode_point_features_sorted(
     counts: np.ndarray,
     fids: np.ndarray | None,
     px: np.ndarray,
     py: np.ndarray,
     tag_columns: dict[str, tuple[str, np.ndarray]] | None,
-    layer_name: str,
-    extent: int,
-) -> list[bytes]:
-    """Encode MANY single-layer point tiles in one vectorized pass.
+) -> dict:
+    """Framed feature block + per-tile dictionary arrays for MANY tile
+    groups in one vectorized pass — the shared core of the tile assembler
+    (encode_point_tiles_sorted) and the salted partial-encode stage whose
+    partials fastmerge re-frames.
 
-    Rows are pre-sorted by tile then feature_id; ``counts[i]`` is the number
-    of rows of tile i. Returns one bytes object per tile, byte-identical to
-    encode_point_tile on each tile's slice (asserted in tests): the per-tile
-    first-seen tag dictionary is reproduced batch-wide via a grouped
-    first-occurrence ranking instead of per-tile factorize.
+    Rows are pre-sorted by tile then feature_id; counts[i] > 0 is the row
+    count of tile i. Returns a dict:
+      block      uint8[:]        framed feature bytes, all tiles
+      feat_len   int64[n]        framed byte length per feature
+      glen       int64[n]        geometry payload bytes per feature
+      vcode      int64[n, t]     per-tile first-seen value code per column
+      vblob      uint8[:]        per-tile dict value messages, concatenated
+      vstart/vlen int64[n_tiles] each tile's slice of vblob
+      entry_lens int64[:]        byte length per dict entry (tile-major)
+      e_bounds   int64[n_tiles+1] entry index bounds per tile
+      keys_blob  bytes           encoded key fields (shared by all tiles)
     """
     counts = np.asarray(counts, dtype=np.int64)
     n = int(counts.sum())
@@ -235,9 +242,11 @@ def encode_point_tiles_sorted(
 
     # --- per-tile first-seen tag dictionaries, batch-wide
     tile_of_row = np.repeat(np.arange(n_tiles, dtype=np.int64), counts)
-    values_bytes_per_tile: list[bytes] | None = None
     tag_idx = None
     keys_blob = b"".join(pbwire.len_delimited(3, k.encode("utf-8")) for k in keys)
+    vcode = np.zeros((n, 0), dtype=np.int64)
+    entry_lens = np.zeros(0, dtype=np.int64)
+    e_bounds = np.zeros(n_tiles + 1, dtype=np.int64)
     if t:
         codes, uniques = _global_tag_codes(keys, tag_columns, n)
         K = len(uniques) + 1
@@ -277,13 +286,17 @@ def encode_point_tiles_sorted(
         vblob = np.empty(int(entry_lens.sum()), dtype=np.uint8)
         _ragged_copy(vblob, entry_starts, cache_buf, cache_starts[codes_in_order], entry_lens)
         # per-tile (vstart, vlen) into vblob; grp_starts indexes codes_in_order
-        ends = np.append(grp_starts[1:], len(perm))
         tiles_with_dict = sorted_ug[grp_starts]
         vlen = np.zeros(n_tiles, dtype=np.int64)
         vstart = np.zeros(n_tiles, dtype=np.int64)
         grp_bytes = np.add.reduceat(entry_lens, grp_starts) if len(grp_starts) else np.zeros(0, np.int64)
         vlen[tiles_with_dict] = grp_bytes
         vstart[tiles_with_dict] = entry_starts[grp_starts]
+        # entry index bounds per tile (counts > 0 and t > 0 -> every tile
+        # has a dictionary, so grp_starts covers every tile in order)
+        e_counts = np.zeros(n_tiles, dtype=np.int64)
+        e_counts[tiles_with_dict] = np.diff(np.append(grp_starts, len(perm)))
+        np.cumsum(e_counts, out=e_bounds[1:])
     else:
         vblob = np.zeros(0, dtype=np.uint8)
         vlen = np.zeros(n_tiles, dtype=np.int64)
@@ -336,6 +349,46 @@ def encode_point_tiles_sorted(
     out[cursor + 2] = 0x22
     out[cursor + 3] = glen.astype(np.uint8)
     _ragged_copy(out, cursor + 4, geom_blob, geom_starts, glen)
+
+    return {
+        "block": out,
+        "feat_len": feat_total,
+        "glen": glen,
+        "vcode": vcode,
+        "vblob": vblob,
+        "vstart": vstart,
+        "vlen": vlen,
+        "entry_lens": entry_lens,
+        "e_bounds": e_bounds,
+        "keys_blob": keys_blob,
+    }
+
+
+def encode_point_tiles_sorted(
+    counts: np.ndarray,
+    fids: np.ndarray | None,
+    px: np.ndarray,
+    py: np.ndarray,
+    tag_columns: dict[str, tuple[str, np.ndarray]] | None,
+    layer_name: str,
+    extent: int,
+) -> list[bytes]:
+    """Encode MANY single-layer point tiles in one vectorized pass.
+
+    Rows are pre-sorted by tile then feature_id; ``counts[i]`` is the number
+    of rows of tile i. Returns one bytes object per tile, byte-identical to
+    encode_point_tile on each tile's slice (asserted in tests): the per-tile
+    first-seen tag dictionary is reproduced batch-wide via a grouped
+    first-occurrence ranking instead of per-tile factorize.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n_tiles = len(counts)
+    fb = encode_point_features_sorted(counts, fids, px, py, tag_columns)
+    out = fb["block"]
+    feat_total = fb["feat_len"]
+    feat_starts = np.cumsum(feat_total) - feat_total
+    vblob, vstart, vlen = fb["vblob"], fb["vstart"], fb["vlen"]
+    keys_blob = fb["keys_blob"]
 
     # --- per-tile assembly, fully vectorized: layer framing computed as
     # flat offset arrays, constant blobs broadcast-scattered, variable parts

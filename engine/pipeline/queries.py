@@ -305,14 +305,17 @@ def q_mvt_combined(spark, sf_dir):
     encoded as INDEPENDENT streams, then merged into ONE multi-layer tile
     per (z,x,y) by wire-level layer splicing (engine.pipeline.tilemerge) —
     the partial-encode -> final-merge path MVT's concatenable layer framing
-    allows. Auditable projection: per-tile total features + layer count."""
+    allows. The point stream uses the SALTED encoder (the z0-z3 mega-tiles
+    hold every page; unsalted, z0 lands on one task), whose vectorized
+    partial merge keeps the hot tile distributed. Auditable projection:
+    per-tile total features + layer count."""
     geo = index.with_feature_id(_geotagged(spark, sf_dir))
-    pts = tiler.encode_point_tiles(index.with_tiles(index.with_unit(geo), 0, 3))
+    pts = tiler.encode_point_partials_compact(index.with_unit(geo), 0, 3)
     polys = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 3)
-    cols = ["z", "x", "y", "mvt", "n_features"]
-    merged = tilemerge.merge_tiles(
-        pts.select(*cols).unionByName(polys.select(*cols))
+    parts = pts.unionByName(
+        tiler.tiles_as_partial_rows(polys.select("z", "x", "y", "mvt", "n_features"))
     )
+    merged = tiler.merge_partial_tiles(parts)
     return merged.select("z", "x", "y", "n_features", "n_layers")
 
 

@@ -230,39 +230,306 @@ def encode_point_tiles_compact(
     tag_cols = tuple(tag_cols)
     zoomed = df.withColumn("z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max))))
     cols = ["z", "u", "v", "feature_id"] + [c for c, _ in tag_cols]
-    xe = F.expr(
-        f"least(cast(shiftleft(1, z) as bigint) - 1, greatest(cast(0 as bigint), "
-        f"cast(floor(u * shiftleft(1, z)) as bigint)))"
-    )
-    ye = F.expr(
-        f"least(cast(shiftleft(1, z) as bigint) - 1, greatest(cast(0 as bigint), "
-        f"cast(floor(v * shiftleft(1, z)) as bigint)))"
-    )
+    xe, ye = _tile_xy_exprs()
     parted = zoomed.select(*cols).repartition(F.col("z"), xe, ye)
     prepared = parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
 
-    def augment(pdf: pd.DataFrame) -> pd.DataFrame:
-        z = pdf["z"].to_numpy()
-        u = pdf["u"].to_numpy()
-        v = pdf["v"].to_numpy()
-        n = np.ldexp(1.0, z.astype(np.int64))  # 2^z exact
-        x = np.minimum(n - 1, np.maximum(0.0, np.floor(u * n))).astype(np.int64)
-        y = np.minimum(n - 1, np.maximum(0.0, np.floor(v * n))).astype(np.int64)
-        scale = n * float(extent)
-        return pdf.assign(
-            x=x, y=y,
-            px=u * scale - x * float(extent),
-            py=v * scale - y * float(extent),
-        )
-
     def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return carry_group_iter(
-            (augment(pdf) for pdf in batches),
+            (_augment_uv(pdf, extent) for pdf in batches),
             lambda pdf: _encode_batch(pdf, layer_name, tag_cols, extent),
         )
 
     encoded = prepared.mapInPandas(encode_iter, ENCODE_SCHEMA)
     return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
+
+
+def _tile_xy_exprs():
+    """x/y tile expressions over (z, u, v) — used as partition/sort keys
+    without materializing the columns into the shuffle."""
+    xe = F.expr(
+        "least(cast(shiftleft(1, z) as bigint) - 1, greatest(cast(0 as bigint), "
+        "cast(floor(u * shiftleft(1, z)) as bigint)))"
+    )
+    ye = F.expr(
+        "least(cast(shiftleft(1, z) as bigint) - 1, greatest(cast(0 as bigint), "
+        "cast(floor(v * shiftleft(1, z)) as bigint)))"
+    )
+    return xe, ye
+
+
+def _augment_uv(pdf: pd.DataFrame, extent: int) -> pd.DataFrame:
+    """Reconstruct (x, y, px, py) from (z, u, v) AFTER the shuffle with the
+    same IEEE double expressions the standard path shuffles materialized."""
+    z = pdf["z"].to_numpy()
+    u = pdf["u"].to_numpy()
+    v = pdf["v"].to_numpy()
+    n = np.ldexp(1.0, z.astype(np.int64))  # 2^z exact
+    x = np.minimum(n - 1, np.maximum(0.0, np.floor(u * n))).astype(np.int64)
+    y = np.minimum(n - 1, np.maximum(0.0, np.floor(v * n))).astype(np.int64)
+    scale = n * float(extent)
+    return pdf.assign(
+        x=x, y=y,
+        px=u * scale - x * float(extent),
+        py=v * scale - y * float(extent),
+    )
+
+
+PARTIAL_SCHEMA = (
+    "z int, x bigint, y bigint, n_features long, fids binary, block binary, "
+    "feat_len binary, glen binary, vcode binary, dict_blob binary, "
+    "dict_lens binary, mvt binary"
+)
+
+
+def encode_point_partials(
+    df: DataFrame,
+    n_salt: int = 8,
+    tag_cols: tuple[tuple[str, str], ...] = (("lang", "string"),),
+    extent: int = EXTENT,
+) -> DataFrame:
+    """B14 stage 1: vectorized feature encode per (tile, salt) group — the
+    geometry + varint heavy lifting for a hot tile (z0 holds every feature)
+    spreads over n_salt tasks instead of one — shipping PARTIAL ARRAYS
+    (framed feature bytes + ids/lengths/dict codes, engine.mvtcodec.
+    fastpoints.encode_point_features_sorted) in PARTIAL_SCHEMA rows (the
+    ``mvt`` column stays null; pre-encoded tiles conformed by
+    tiles_as_partial_rows ride the same schema into one shared merge)."""
+    tag_cols = tuple(tag_cols)
+    gcols = ("z", "x", "y", "_salt")
+    cols = ["z", "x", "y", "feature_id", "px", "py"] + [c for c, _ in tag_cols]
+    encode_partial_batch = _make_partial_encoder(tag_cols)
+    salted = df.select(*cols).withColumn("_salt", _zoom_salt_expr(n_salt))
+    parted = salted.repartition("z", "x", "y", "_salt").sortWithinPartitions(
+        "z", "x", "y", "_salt", "feature_id"
+    )
+    return parted.mapInPandas(
+        lambda b: carry_group_iter(b, encode_partial_batch, gcols),
+        PARTIAL_SCHEMA,
+    )
+
+
+def encode_point_partials_compact(
+    df: DataFrame,
+    z_min: int = 0,
+    z_max: int = 14,
+    n_salt: int = 8,
+    tag_cols: tuple[tuple[str, str], ...] = (("lang", "string"),),
+    extent: int = EXTENT,
+) -> DataFrame:
+    """Shuffle-lean stage 1: like encode_point_partials but ``df`` carries
+    (u, v, feature_id, tags) and only those ride the salted tile shuffle —
+    (x, y, px, py) reconstruct post-shuffle (_augment_uv), the same byte
+    cut as encode_point_tiles_compact applied to the salted path."""
+    tag_cols = tuple(tag_cols)
+    gcols = ("z", "x", "y", "_salt")
+    encode_partial_batch = _make_partial_encoder(tag_cols)
+    zoomed = df.withColumn(
+        "z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max)))
+    ).withColumn("_salt", _zoom_salt_expr(n_salt))
+    cols = ["z", "u", "v", "feature_id", "_salt"] + [c for c, _ in tag_cols]
+    xe, ye = _tile_xy_exprs()
+    parted = zoomed.select(*cols).repartition(F.col("z"), xe, ye, F.col("_salt"))
+    prepared = parted.sortWithinPartitions(
+        F.col("z"), xe, ye, F.col("_salt"), F.col("feature_id")
+    )
+    return prepared.mapInPandas(
+        lambda b: carry_group_iter(
+            (_augment_uv(pdf, extent) for pdf in b), encode_partial_batch, gcols
+        ),
+        PARTIAL_SCHEMA,
+    )
+
+
+def _zoom_salt_expr(n_salt: int):
+    """Zoom-adaptive salt: the tile population halves 4x per zoom, so the
+    salt fan-out halves per zoom too (z0: n_salt ways, ... deep zooms: 1).
+    Single-partial tiles skip the merge re-framing entirely (fastmerge
+    fast path) — only genuinely hot tiles pay the two-stage cost. Salting
+    is routing only; bytes are invariant (tests/test_tilemerge.py)."""
+    return F.pmod(
+        F.xxhash64("feature_id"),
+        F.greatest(F.lit(1), F.expr(f"shiftright({n_salt}, z)")),
+    )
+
+
+def _make_partial_encoder(tag_cols: tuple[tuple[str, str], ...]):
+    gcols = ("z", "x", "y", "_salt")
+
+    def encode_partial_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts = _group_bounds(pdf, gcols)
+        counts = np.diff(np.append(starts, len(pdf)))
+        tags = {
+            col: (vt, pdf[col].to_numpy(dtype=object if vt == "string" else None))
+            for col, vt in tag_cols
+        }
+        fids = pdf["feature_id"].to_numpy(dtype=np.int64)
+        fb = fastpoints.encode_point_features_sorted(
+            counts, fids, quantize(pdf["px"].to_numpy()),
+            quantize(pdf["py"].to_numpy()), tags,
+        )
+        feat_len = fb["feat_len"]
+        b_off = np.concatenate([[0], np.cumsum(feat_len)])
+        block = fb["block"].tobytes()
+        vblob = fb["vblob"].tobytes()
+        e_bounds = fb["e_bounds"]
+        entry_lens = fb["entry_lens"]
+        ends = np.append(starts[1:], len(pdf))
+        out = {k: [] for k in (
+            "z", "x", "y", "n_features", "fids", "block", "feat_len",
+            "glen", "vcode", "dict_blob", "dict_lens",
+        )}
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            out["z"].append(int(pdf["z"].iloc[s]))
+            out["x"].append(int(pdf["x"].iloc[s]))
+            out["y"].append(int(pdf["y"].iloc[s]))
+            out["n_features"].append(int(e - s))
+            out["fids"].append(fids[s:e].tobytes())
+            out["block"].append(block[b_off[s] : b_off[e]])
+            out["feat_len"].append(feat_len[s:e].astype(np.int32).tobytes())
+            out["glen"].append(fb["glen"][s:e].astype(np.int32).tobytes())
+            out["vcode"].append(fb["vcode"][s:e].astype(np.int32).tobytes())
+            out["dict_blob"].append(
+                vblob[fb["vstart"][i] : fb["vstart"][i] + fb["vlen"][i]]
+            )
+            out["dict_lens"].append(
+                entry_lens[e_bounds[i] : e_bounds[i + 1]].astype(np.int32).tobytes()
+            )
+        return pd.DataFrame(
+            {
+                "z": pd.array(out["z"], dtype="int32"),
+                "x": pd.array(out["x"], dtype="int64"),
+                "y": pd.array(out["y"], dtype="int64"),
+                "n_features": pd.array(out["n_features"], dtype="int64"),
+                **{k: out[k] for k in (
+                    "fids", "block", "feat_len", "glen", "vcode",
+                    "dict_blob", "dict_lens",
+                )},
+                "mvt": [None] * len(out["z"]),
+            }
+        )
+
+    return encode_partial_batch
+
+
+def tiles_as_partial_rows(tiles: DataFrame) -> DataFrame:
+    """Conform pre-encoded tile rows (z, x, y, mvt, n_features) to
+    PARTIAL_SCHEMA so another stream's finished tiles ride the SAME merge
+    shuffle as the point partials (wire-spliced at the merge task)."""
+    null_b = "cast(null as binary)"
+    return tiles.selectExpr(
+        "z", "x", "y", "n_features",
+        *[f"{null_b} as {c}" for c in (
+            "fids", "block", "feat_len", "glen", "vcode", "dict_blob",
+            "dict_lens",
+        )],
+        "mvt",
+    )
+
+
+def merge_partial_tiles(
+    parts: DataFrame,
+    layer_name: str = "pages",
+    tag_cols: tuple[tuple[str, str], ...] = (("lang", "string"),),
+    extent: int = EXTENT,
+) -> DataFrame:
+    """B14 stage 2: ONE shuffle on (z,x,y) merges everything addressed to a
+    tile — point partial arrays re-frame into the canonical layer with
+    whole-array passes (engine.mvtcodec.fastmerge, zero per-feature
+    Python), pre-encoded tiles from other streams split into their layer
+    messages and wire-splice in (same-name collisions fall back to the
+    generic re-framer). Layers sort by name; bytes equal a single-pass
+    multi-layer encode."""
+    from engine.mvtcodec import fastmerge
+
+    from . import tilemerge
+
+    tag_cols = tuple(tag_cols)
+    t = len(tag_cols)
+    keys_blob = b"".join(
+        pbwire.len_delimited(3, c.encode("utf-8")) for c, _ in tag_cols
+    )
+
+    def merge_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts = list(_group_bounds(pdf)) + [len(pdf)]
+        out = {k: [] for k in (
+            "z", "x", "y", "mvt", "n_features", "n_bytes", "n_layers"
+        )}
+        for s, e in zip(starts[:-1], starts[1:]):
+            partials = []
+            spliced: dict[str, list[bytes]] = {}
+            for i in range(s, e):
+                if pdf["mvt"].iloc[i] is not None:
+                    for nm, msg in tilemerge.split_tile_layers(
+                        bytes(pdf["mvt"].iloc[i])
+                    ):
+                        spliced.setdefault(nm, []).append(msg)
+                    continue
+                nf = int(pdf["n_features"].iloc[i])
+                partials.append(
+                    {
+                        "fids": np.frombuffer(pdf["fids"].iloc[i], dtype=np.int64),
+                        "block": np.frombuffer(pdf["block"].iloc[i], dtype=np.uint8),
+                        "feat_len": np.frombuffer(
+                            pdf["feat_len"].iloc[i], dtype=np.int32
+                        ).astype(np.int64),
+                        "glen": np.frombuffer(
+                            pdf["glen"].iloc[i], dtype=np.int32
+                        ).astype(np.int64),
+                        "vcode": np.frombuffer(
+                            pdf["vcode"].iloc[i], dtype=np.int32
+                        ).astype(np.int64).reshape(nf, t),
+                        "dict_blob": np.frombuffer(
+                            pdf["dict_blob"].iloc[i], dtype=np.uint8
+                        ),
+                        "dict_lens": np.frombuffer(
+                            pdf["dict_lens"].iloc[i], dtype=np.int32
+                        ).astype(np.int64),
+                    }
+                )
+            layers: dict[str, bytes] = {}
+            if partials:
+                layers[layer_name] = fastmerge.merge_point_partials(
+                    partials, layer_name, keys_blob, extent
+                )
+            for nm, msgs in spliced.items():
+                if nm in layers or len(msgs) > 1:
+                    msgs = msgs + ([layers[nm]] if nm in layers else [])
+                    layers[nm] = tilemerge._merge_layer(nm, msgs)
+                else:
+                    layers[nm] = msgs[0]
+            data = b"".join(
+                pbwire.len_delimited(3, layers[nm]) for nm in sorted(layers)
+            )
+            out["z"].append(int(pdf["z"].iloc[s]))
+            out["x"].append(int(pdf["x"].iloc[s]))
+            out["y"].append(int(pdf["y"].iloc[s]))
+            out["mvt"].append(data)
+            out["n_features"].append(int(pdf["n_features"].iloc[s:e].sum()))
+            out["n_bytes"].append(len(data))
+            out["n_layers"].append(len(layers))
+        return pd.DataFrame(
+            {
+                "z": pd.array(out["z"], dtype="int32"),
+                "x": pd.array(out["x"], dtype="int64"),
+                "y": pd.array(out["y"], dtype="int64"),
+                "mvt": out["mvt"],
+                "n_features": pd.array(out["n_features"], dtype="int64"),
+                "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+                "n_layers": pd.array(out["n_layers"], dtype="int32"),
+            }
+        )
+
+    merged = (
+        parts.repartition("z", "x", "y")
+        .sortWithinPartitions("z", "x", "y")
+        .mapInPandas(
+            lambda b: carry_group_iter(b, merge_batch),
+            "z int, x bigint, y bigint, mvt binary, n_features long, "
+            "n_bytes long, n_layers int",
+        )
+    )
+    return merged.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
 
 
 def encode_point_tiles_salted(
@@ -272,32 +539,11 @@ def encode_point_tiles_salted(
     tag_cols: tuple[tuple[str, str], ...] = (("lang", "string"),),
     extent: int = EXTENT,
 ) -> DataFrame:
-    """B14 mega-tile path: stage 1 encodes per-(tile, salt) PARTIAL
-    single-layer tiles — the geometry + dictionary heavy lifting for a hot
-    tile (z0 holds every feature) spreads over n_salt tasks instead of one —
-    and stage 2 merges each tile's partials with canonical feature
-    re-framing (engine.pipeline.tilemerge). Output is BYTE-IDENTICAL to the
-    unsalted encoder (tests/test_tilemerge.py asserts it)."""
-    from . import tilemerge
-
-    tag_cols = tuple(tag_cols)
-    gcols = ("z", "x", "y", "_salt")
-    cols = ["z", "x", "y", "feature_id", "px", "py"] + [c for c, _ in tag_cols]
-    salted = df.select(*cols).withColumn(
-        "_salt", F.pmod(F.xxhash64("feature_id"), F.lit(n_salt))
-    )
-    parted = salted.repartition("z", "x", "y", "_salt").sortWithinPartitions(
-        "z", "x", "y", "_salt", "feature_id"
-    )
-    stage1 = parted.mapInPandas(
-        lambda b: carry_group_iter(
-            b,
-            lambda pdf: _encode_batch(pdf, layer_name, tag_cols, extent, gcols),
-            gcols,
-        ),
-        ENCODE_SCHEMA,
-    )
-    return tilemerge.merge_tiles(stage1)
+    """B14 mega-tile path: encode_point_partials -> merge_partial_tiles.
+    Output is BYTE-IDENTICAL to the unsalted encoder
+    (tests/test_tilemerge.py asserts it)."""
+    stage1 = encode_point_partials(df, n_salt, tag_cols, extent)
+    return merge_partial_tiles(stage1, layer_name, tag_cols, extent)
 
 
 def decode_layer_counts(tiles: DataFrame) -> DataFrame:

@@ -70,6 +70,19 @@ def test_salted_encode_byte_identical(spark):
         assert (salted["n_layers"] == 1).all()
 
 
+def test_salted_compact_encode_byte_identical(spark):
+    """The shuffle-lean salted stage (encode_point_partials_compact ->
+    merge_partial_tiles) must also reproduce the unsalted encoder's bytes."""
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, SF_DIR)))
+    df = index.with_tiles(index.with_unit(geo), 0, 3)
+    plain = tiler.encode_point_tiles(df).toPandas()
+    want = {(r.z, r.x, r.y): r.mvt_sha256 for r in plain.itertuples()}
+    stage1 = tiler.encode_point_partials_compact(index.with_unit(geo), 0, 3)
+    salted = tiler.merge_partial_tiles(stage1).toPandas()
+    got = {(r.z, r.x, r.y): r.mvt_sha256 for r in salted.itertuples()}
+    assert got == want
+
+
 def test_combined_tiles_decode(spark):
     """Merged point+polygon tiles decode to the union of the layers."""
     from engine.pipeline.queries import REGISTRY
