@@ -338,6 +338,36 @@ SELECT z, x, y, CAST(SUM(n) AS BIGINT) AS n_features,
 FROM combined GROUP BY 1, 2, 3"""
 
 
+def q_mvt_roundtrip_coords(spark, sf_dir):
+    """B16 at coordinate granularity: encode the z0-z2 point tiles, decode
+    them with the engine's own reader, and emit every decoded feature's
+    (feature_id, px, py) — the oracle recomputes the same values from the
+    closed-form pipeline math, so the wire bytes are verified value-exact,
+    not just count-exact."""
+    geo = index.with_feature_id(_geotagged(spark, sf_dir))
+    tiles = tiler.encode_point_tiles_compact(index.with_unit(geo), 0, 2)
+    return tiler.decode_point_features(tiles)
+
+
+def q_mvt_roundtrip_coords_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    fid = index.feature_id_expr("duckdb")
+    scale = "(CAST((1 << z) AS DOUBLE) * 4096)"
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+pts AS (SELECT {u} AS u, {v} AS v, {fid} AS feature_id FROM geotagged),
+zoomed AS (
+  SELECT feature_id, z.z AS z,
+         {index.tile_expr('u', 'z.z', True)} AS x,
+         {index.tile_expr('v', 'z.z', True)} AS y, u, v
+  FROM pts CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS z) z)
+SELECT z, x, y, feature_id,
+       CAST(trunc(u * {scale} - x * 4096) AS BIGINT) AS px,
+       CAST(trunc(v * {scale} - y * 4096) AS BIGINT) AS py
+FROM zoomed"""
+
+
 HILBERT_Z = 8
 
 
@@ -822,6 +852,7 @@ REGISTRY: dict[str, tuple] = {
     "mvt_tiles_z0_4": (q_mvt_tiles, q_mvt_tiles_sql),
     "mvt_roundtrip_verify": (q_mvt_verify, q_mvt_verify_sql),
     "mvt_combined_tiles": (q_mvt_combined, q_mvt_combined_sql),
+    "mvt_roundtrip_coords": (q_mvt_roundtrip_coords, q_mvt_roundtrip_coords_sql),
     "hilbert_key_z8": (q_hilbert_key, q_hilbert_key_sql),
     "hilbert_key_numpy": (q_hilbert_key_numpy, q_hilbert_key_sql),
     "poly_tile_coverage": (q_poly_tile_coverage, q_poly_tile_coverage_sql),

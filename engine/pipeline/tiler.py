@@ -571,6 +571,53 @@ def decode_layer_counts(tiles: DataFrame) -> DataFrame:
     )
 
 
+def decode_point_features(tiles: DataFrame, layer: str = "pages") -> DataFrame:
+    """B16 at coordinate granularity: decode every emitted point tile with
+    the engine's own reader and emit one row per FEATURE with its decoded
+    quantized pixel coords — joins relationally against the closed-form
+    pipeline values, closing the count-only blind spot of the decoded-count
+    verify (encode -> wire -> decode -> values, checked by the oracle).
+    Verification operator: per-tile decode loops are the decoder's own
+    (bounded by features per tile, off the bench path)."""
+
+    def run(batches):
+        from engine.mvtcodec import tile as tilemod
+        from engine.mvtcodec.zigzag import unzigzag
+
+        for pdf in batches:
+            rows = {"z": [], "x": [], "y": [], "feature_id": [], "px": [], "py": []}
+            for zt, xt, yt, data in zip(pdf["z"], pdf["x"], pdf["y"], pdf["mvt"]):
+                layers = tilemod.decode_tile(bytes(data))
+                if layer not in layers:
+                    continue
+                feats = layers[layer]["features"]
+                words = np.stack([f["geometry"][:3] for f in feats]).astype(np.uint32)
+                px = unzigzag(words[:, 1]).astype(np.int64)
+                py = unzigzag(words[:, 2]).astype(np.int64)
+                n = len(feats)
+                rows["z"].extend([int(zt)] * n)
+                rows["x"].extend([int(xt)] * n)
+                rows["y"].extend([int(yt)] * n)
+                rows["feature_id"].extend(int(f["id"]) for f in feats)
+                rows["px"].extend(px.tolist())
+                rows["py"].extend(py.tolist())
+            yield pd.DataFrame(
+                {
+                    "z": pd.array(rows["z"], dtype="int32"),
+                    "x": pd.array(rows["x"], dtype="int64"),
+                    "y": pd.array(rows["y"], dtype="int64"),
+                    "feature_id": pd.array(rows["feature_id"], dtype="int64"),
+                    "px": pd.array(rows["px"], dtype="int64"),
+                    "py": pd.array(rows["py"], dtype="int64"),
+                }
+            )
+
+    return tiles.select("z", "x", "y", "mvt").mapInPandas(
+        run,
+        "z int, x long, y long, feature_id long, px long, py long",
+    )
+
+
 def decode_verify_tiles(tiles: DataFrame) -> DataFrame:
     """Round-trip verification (B16): decode every emitted tile with the
     engine's own reader, recount features. (z,x,y,n_features,ok,decoded)."""
