@@ -110,25 +110,37 @@ SELECT url, poly_id FROM crossings WHERE c % 2 = 1
 """
 
 
-def pip_join_numpy(geotagged: DataFrame, polys: list[dict]) -> DataFrame:
+def pip_join_numpy(
+    geotagged: DataFrame, polys: list[dict], grid_deg: float | None = None
+) -> DataFrame:
     """PIP join, map-only path: the polygon table (small dim side) ships to
-    every task; each Arrow batch bbox-prefilters then vector-ray-casts in
-    numpy (engine.spatial.pip — the SAME IEEE expression as CROSSING_COND,
-    so this shares pip_join's oracle). Zero shuffle: at cluster scale this
-    is a pure map over the pages table while the polygon set fits memory.
+    every task; each Arrow batch looks its pages up in a CELL-BUCKETED
+    polygon index (the in-memory twin of pip_join's grid), bbox-checks only
+    the local candidates, then vector-ray-casts per candidate polygon
+    (engine.spatial.pip — the SAME IEEE expression as CROSSING_COND, so
+    this shares pip_join's oracle). Zero shuffle; per-batch work is
+    O(candidate pairs) like the relational plan, NOT O(P) per batch — the
+    round-2 version looped every polygon per batch, fine at P=500, wrong
+    at P=10^5. Past the closure-shipping regime entirely (P beyond memory),
+    use pip_join_partitioned — pip_join_auto chooses.
 
     ``polys``: fixtures.polygons_np output (rings per polygon).
     """
     from engine.spatial import pip as pipmod
 
-    prepared = [
-        (
-            int(p["poly_id"]),
-            [np.asarray(r, dtype=np.float64) for r in p["rings"]],
-            pipmod.bbox_of(p["rings"]),
-        )
-        for p in polys
+    w = grid_deg or PIP_GRID_DEG
+    rings_by_slot = [
+        [np.asarray(r, dtype=np.float64) for r in p["rings"]] for p in polys
     ]
+    pids = np.array([int(p["poly_id"]) for p in polys], dtype=np.int64)
+    bbox = np.array([pipmod.bbox_of(p["rings"]) for p in polys], dtype=np.float64)
+    bx0, by0, bx1, by1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(polys)):
+        for gx in range(int(np.floor(bx0[i] / w)), int(np.floor(bx1[i] / w)) + 1):
+            for gy in range(int(np.floor(by0[i] / w)), int(np.floor(by1[i] / w)) + 1):
+                buckets.setdefault((gx, gy), []).append(i)
+    buckets_np = {k: np.asarray(v, dtype=np.int64) for k, v in buckets.items()}
 
     def compute(batches):
         for pdf in batches:
@@ -137,17 +149,54 @@ def pip_join_numpy(geotagged: DataFrame, polys: list[dict]) -> DataFrame:
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             urls = pdf["url"].to_numpy()
-            out_urls, out_pids = [], []
-            for pid, rings, (x0, y0, x1, y1) in prepared:
-                m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
-                if not m.any():
+            gx = np.floor(lon / w).astype(np.int64)
+            gy = np.floor(lat / w).astype(np.int64)
+            code = (gx + (1 << 20)) * (1 << 21) + (gy + (1 << 20))
+            order = np.argsort(code, kind="stable")
+            sc = code[order]
+            cell_starts = np.flatnonzero(
+                np.concatenate([[True], sc[1:] != sc[:-1]])
+            )
+            cell_ends = np.append(cell_starts[1:], len(sc))
+            pair_page, pair_poly = [], []
+            for s, e in zip(cell_starts, cell_ends):
+                idx = order[s:e]
+                cand = buckets_np.get((int(gx[idx[0]]), int(gy[idx[0]])))
+                if cand is None:
                     continue
-                idx = np.flatnonzero(m)
-                inside = pipmod.points_in_polygon(lon[idx], lat[idx], rings)
-                sel = idx[inside]
-                if len(sel):
-                    out_urls.append(urls[sel])
-                    out_pids.append(np.full(len(sel), pid, dtype=np.int64))
+                sub_lon, sub_lat = lon[idx], lat[idx]
+                mask = (
+                    (sub_lon[:, None] >= bx0[cand])
+                    & (sub_lon[:, None] <= bx1[cand])
+                    & (sub_lat[:, None] >= by0[cand])
+                    & (sub_lat[:, None] <= by1[cand])
+                )
+                pi, pj = np.nonzero(mask)
+                if len(pi):
+                    pair_page.append(idx[pi])
+                    pair_poly.append(cand[pj])
+            out_urls, out_pids = [], []
+            if pair_page:
+                pages_c = np.concatenate(pair_page)
+                polys_c = np.concatenate(pair_poly)
+                po = np.argsort(polys_c, kind="stable")
+                pages_c, polys_c = pages_c[po], polys_c[po]
+                p_starts = np.flatnonzero(
+                    np.concatenate([[True], polys_c[1:] != polys_c[:-1]])
+                )
+                p_ends = np.append(p_starts[1:], len(polys_c))
+                for s, e in zip(p_starts, p_ends):
+                    slot = int(polys_c[s])
+                    cand_pages = pages_c[s:e]
+                    inside = pipmod.points_in_polygon(
+                        lon[cand_pages], lat[cand_pages], rings_by_slot[slot]
+                    )
+                    sel = cand_pages[inside]
+                    if len(sel):
+                        out_urls.append(urls[sel])
+                        out_pids.append(
+                            np.full(len(sel), pids[slot], dtype=np.int64)
+                        )
             yield pd.DataFrame(
                 {
                     "url": np.concatenate(out_urls) if out_urls else [],
