@@ -34,7 +34,12 @@ SCALING_CASES = (
     "pip_join",
     "pip_join_maponly",
     "knn_3_maponly",
+    "pip_join_1m_partitioned",
 )
+
+# pyramid stage-isolation cases (only run when explicitly named): cumulative
+# prefixes of the pyramid plan, so per-stage cost = successive differences
+STAGE_CASES = ("pyramid_scan_geotag", "pyramid_shuffled_sorted")
 
 
 def _cases():
@@ -60,9 +65,44 @@ def _cases():
         ("mvt_combined_tiles", Q.q_mvt_combined),
         ("events_asof", Q.q_events_asof),
         ("near_dup_jaccard", Q.q_near_dup),
+        ("near_dup_clusters", Q.q_near_dup_clusters),
         ("ann_topk_maponly", Q.q_ann_maponly),
         ("media_metadata", Q.q_media_metadata),
     ]
+
+
+def _stage_cases():
+    """Cumulative prefixes of the z0-14 pyramid plan (explicit-only)."""
+    return [
+        ("pyramid_scan_geotag", _pyramid_scan_geotag),
+        ("pyramid_shuffled_sorted", _pyramid_shuffled_sorted),
+    ]
+
+
+def _pyramid_scan_geotag(spark, sf_dir):
+    """Stage 1 of the pyramid: parquet scan + sha256 geotag + unit coords
+    (no zoom explode, no shuffle) — isolates the map-side input cost."""
+    from engine.pipeline import fixtures, index
+
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, sf_dir)))
+    return index.with_unit(geo).select("u", "v", "feature_id", "lang")
+
+
+def _pyramid_shuffled_sorted(spark, sf_dir):
+    """Stages 1-2: scan + x15 zoom explode + the tile shuffle + sort, with
+    the exact projection the compact encoder shuffles — everything except
+    the Python encode stage."""
+    from pyspark.sql import functions as F
+
+    from engine.pipeline import fixtures, index, tiler
+
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, sf_dir)))
+    uv = index.with_unit(geo)
+    zoomed = uv.withColumn("z", F.explode(F.sequence(F.lit(0), F.lit(14))))
+    xe, ye = tiler._tile_xy_exprs()
+    cols = ["z", "u", "v", "feature_id", "lang"]
+    parted = zoomed.select(*cols).repartition(F.col("z"), xe, ye)
+    return parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
 
 
 def run_once(case_filter=None) -> dict:
@@ -76,7 +116,10 @@ def run_once(case_filter=None) -> dict:
     results: dict[str, float] = {}
     counters: dict[str, float] = {}
     t_total = 0.0
-    for name, builder in _cases():
+    cases = list(_cases())
+    if case_filter:
+        cases += [c for c in _stage_cases() if c[0] in case_filter]
+    for name, builder in cases:
         if case_filter and name not in case_filter:
             continue
         df = builder(spark, SF_DIR)
@@ -202,9 +245,11 @@ def _geotag_hash_x40(spark, sf_dir):
 
 def _subprocess_run(cpus: int, cases) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    args = [sys.executable, os.path.abspath(__file__)]
+    if cases is not None:
+        args += ["--cases", ",".join(cases)]
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cases", ",".join(cases)],
-        capture_output=True, text=True, env=env, timeout=3600,
+        args, capture_output=True, text=True, env=env, timeout=3600,
     )
     if r.returncode != 0:
         raise RuntimeError(
@@ -238,13 +283,20 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
     target >= 0.8, evidenced with TWO pairs: 2 -> 8 cores (the region where
     this sandbox VM itself scales) and 8 -> 32 (dominated by the VM's
     host-serialized first-touch page faults — see the environment-ceiling
-    section). Runs alternate across core counts; best-of-``repeats`` each."""
+    section). Runs alternate across core counts; best-of-``repeats`` each.
+
+    ONE invocation regenerates the whole BENCH/BASELINE.md: the scaling
+    tables, the pyramid per-stage breakdown, AND the local[8] / local[32]
+    headline tables — so the headline, the scaling evidence, and the
+    driver's BENCH_r*.json config cannot drift apart."""
     counts = sorted({c for p in pairs for c in p})
+    cases = SCALING_CASES + STAGE_CASES
     runs: dict[int, list] = {c: [] for c in counts}
     for _ in range(repeats):
         for c in counts:
-            runs[c].append(_subprocess_run(c, SCALING_CASES))
+            runs[c].append(_subprocess_run(c, cases))
     best = {c: _best_of(runs[c]) for c in counts}
+    headline = {c: _subprocess_run(c, None) for c in (8, 32)}
     lines = [
         "# BENCH — scaling evidence (N vs 4N cores, sandbox substitute for executors)",
         "",
@@ -280,6 +332,53 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
             f"\nMean efficiency {n}->{n4}: **{sum(effs) / len(effs):.2f}** "
             "(target >= 0.8, BASELINE.json north_rule)."
         )
+    lines += [
+        "",
+        "## Pyramid per-stage breakdown (which stage eats the efficiency)",
+        "",
+        "Cumulative-prefix timings of the z0-14 pyramid plan; per-stage cost",
+        "is the successive difference, so each stage's own scaling is",
+        "attributable: scan+geotag (map-side codegen, no Python), + zoom",
+        "explode + tile shuffle + sort (wide exchange), + vectorized Python",
+        "encode (Arrow + numpy + protobuf framing).",
+        "",
+        "| cores | scan+geotag s | +shuffle+sort s | full s | shuffle-stage s | encode-stage s |",
+        "|---|---|---|---|---|---|",
+        *[
+            (
+                lambda b: "| {c} | {s:.2f} | {sh:.2f} | {f:.2f} | {d1:.2f} | {d2:.2f} |".format(
+                    c=c,
+                    s=b["queries"]["pyramid_scan_geotag"],
+                    sh=b["queries"]["pyramid_shuffled_sorted"],
+                    f=b["queries"]["mvt_pyramid_z0_14"],
+                    d1=b["queries"]["pyramid_shuffled_sorted"]
+                    - b["queries"]["pyramid_scan_geotag"],
+                    d2=b["queries"]["mvt_pyramid_z0_14"]
+                    - b["queries"]["pyramid_shuffled_sorted"],
+                )
+            )(best[c])
+            for c in counts
+        ],
+        "",
+        "## Headline (full case set, one protocol, local[8] vs local[32])",
+        "",
+        "| case | t(8) s | t(32) s |",
+        "|---|---|---|",
+        *[
+            f"| {case} | {headline[8]['queries'][case]:.2f} | "
+            f"{headline[32]['queries'].get(case, float('nan')):.2f} |"
+            for case in headline[8]["queries"]
+        ],
+        "",
+        f"Totals: local[8] {headline[8]['value']:.1f}s, "
+        f"local[32] {headline[32]['value']:.1f}s.",
+        "",
+        "Raw headline JSON:",
+        "```json",
+        json.dumps(headline[8]),
+        json.dumps(headline[32]),
+        "```",
+    ]
     lines += [
         "",
         "## Environment ceiling (measured)",
@@ -335,9 +434,21 @@ def plan_report() -> None:
         "the final partial_sum/count crossing-parity aggregate.",
         "knn_3_maponly": "zero-shuffle map-only plan: centers collected to a "
         "broadcast-sized python closure; a single mapInPandas over the scan.",
-        "mvt_pyramid_z0_14": "exactly one wide dependency: repartition(z,x,y) "
-        "+ sortWithinPartitions feeding the vectorized encode mapInPandas; "
-        "feature_id sha2 computed BEFORE the x15 zoom explode.",
+        "pip_join_1m_partitioned": "shuffle-both-sides plan for the 1M-polygon "
+        "dimension table: NO BroadcastExchange — the salted cell equi-join and "
+        "the poly_id edge join are shuffle hash joins (AQE skew backstop); at "
+        "E executors this shuffles the polygon side once instead of "
+        "replicating it E times.",
+        "mvt_pyramid_z0_14": "exactly one wide dependency: repartition on "
+        "(z, x-expr, y-expr) + sortWithinPartitions feeding the vectorized "
+        "encode mapInPandas; only (z,u,v,fid,lang) ride the shuffle (compact "
+        "encoder) — derived columns reconstruct post-shuffle; feature_id "
+        "sha2 computed BEFORE the x15 zoom explode.",
+        "mvt_combined_tiles": "two encode stages (salted point partials + "
+        "polygon tiles) keyed straight into ONE merge shuffle on (z,x,y); "
+        "the merge re-frames point partials with whole-array passes and "
+        "wire-splices the polygon layers — the z0 mega-tile's encode is "
+        "spread over salt tasks, never a single-task hot key.",
         "mvt_polygon_tiles_z0_6": "parquet polygon scan -> coverage/vertex "
         "explodes (codegen) -> one repartition(z,x,y) -> batched encode.",
         "events_asof": "as-of join as union + running last() window: one "

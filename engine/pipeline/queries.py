@@ -160,6 +160,14 @@ def q_pip_partitioned(spark, sf_dir):
     )
 
 
+def q_pip_auto(spark, sf_dir):
+    """B8 chooser: broadcast vs partitioned by dimension-side size
+    (joins.pip_join_auto). Same oracle — the chooser only picks a plan."""
+    return joins.pip_join_auto(
+        _geotagged(spark, sf_dir), fixtures.polygon_edges_df(spark, sf_dir)
+    )
+
+
 def q_pip_counts(spark, sf_dir):
     """pages-per-polygon aggregate over the PIP join."""
     return (
@@ -841,6 +849,7 @@ REGISTRY: dict[str, tuple] = {
     "pip_join": (q_pip_join, q_pip_join_sql),
     "pip_join_maponly": (q_pip_join_numpy, q_pip_join_sql),
     "pip_join_partitioned": (q_pip_partitioned, q_pip_join_sql),
+    "pip_join_auto": (q_pip_auto, q_pip_join_sql),
     "pip_counts": (q_pip_counts, q_pip_counts_sql),
     "knn_3": (q_knn, q_knn_sql),
     "knn_3_maponly": (q_knn_numpy, q_knn_sql),
