@@ -715,6 +715,8 @@ q_lang_id, q_lang_id_sql = _sql_template(analysis.lang_scores_sql)
 q_token_stats, q_token_stats_sql = _sql_template(analysis.token_stats_sql)
 q_quality, q_quality_sql = _sql_template(analysis.quality_score_sql)
 q_fingerprint, q_fingerprint_sql = _sql_template(analysis.fingerprint_sql)
+q_rule_filter, q_rule_filter_sql = _sql_template(analysis.rule_filter_sql)
+q_strat_sample, q_strat_sample_sql = _sql_template(analysis.stratified_sample_sql)
 
 
 def q_near_dup_clusters(spark, sf_dir):
@@ -888,6 +890,8 @@ REGISTRY: dict[str, tuple] = {
     "token_stats": (q_token_stats, q_token_stats_sql),
     "token_regex": (q_token_regex, q_token_regex_sql),
     "quality_score": (q_quality, q_quality_sql),
+    "rule_filter": (q_rule_filter, q_rule_filter_sql),
+    "stratified_sample": (q_strat_sample, q_strat_sample_sql),
     "fingerprint_winnow": (q_fingerprint, q_fingerprint_sql),
     "media_metadata": (q_media_metadata, q_media_metadata_sql),
     "media_frames": (q_media_frames, q_media_frames_sql),

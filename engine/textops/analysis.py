@@ -86,6 +86,67 @@ SELECT doc_id,
 FROM documents"""
 
 
+def rule_filter_sql(dialect: str) -> str:
+    """Gopher-style rule-based document filter: per-doc signals + one
+    boolean keep decision + the first failing rule as the drop reason —
+    the operator a pretraining corpus pipeline runs before tokenization.
+    Rules (public Gopher/C4-style heuristics, integer/double-exact):
+      word count in [15, 100000]; mean word length in [2, 12]; space
+      ratio <= 0.35; stopword hits >= 1; period count >= 1.
+    """
+    words = split_ws(dialect, "text")
+    n_tok = arr_len(dialect, words)
+    stop = " + ".join(_count_occurrences("text", m) for m in ("the", "and", "of"))
+    mean_wl = (
+        f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+    )
+    space_ratio = (
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+        " / CAST(length(text) + 1 AS DOUBLE)"
+    )
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         {n_tok} AS n_words,
+         {mean_wl} AS mean_word_len,
+         {space_ratio} AS space_ratio,
+         ({stop}) AS stop_hits,
+         length(text) - length(replace(text, '.', '')) AS n_periods
+  FROM documents)
+SELECT doc_id, n_words, mean_word_len, space_ratio, stop_hits, n_periods,
+       (n_words BETWEEN 15 AND 100000)
+         AND (mean_word_len BETWEEN 2.0 AND 12.0)
+         AND (space_ratio <= 0.35)
+         AND (stop_hits >= 1)
+         AND (n_periods >= 1) AS keep,
+       CASE WHEN NOT (n_words BETWEEN 15 AND 100000) THEN 'word_count'
+            WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'mean_word_len'
+            WHEN space_ratio > 0.35 THEN 'space_ratio'
+            WHEN stop_hits < 1 THEN 'no_stopwords'
+            WHEN n_periods < 1 THEN 'no_sentences'
+            ELSE 'ok' END AS drop_reason
+FROM sig"""
+
+
+def stratified_sample_sql(dialect: str, rates: dict[str, int] | None = None) -> str:
+    """Deterministic stratified sampling: keep doc iff
+    hash31(doc_id) % 1000 < rate_permille(lang). Hash-based so the sample
+    is reproducible across engines/runs and joins (no RNG state) — the
+    standard trick for down-sampling over-represented strata in a corpus
+    mix. rate defaults: en 200‰, zh 500‰, others 800‰.
+    """
+    rates = rates or {"en": 200, "zh": 500}
+    default = 800
+    h = a31(dialect, "CAST(doc_id AS VARCHAR)" if dialect == "duckdb" else "cast(doc_id as string)")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{l}' THEN {r}" for l, r in rates.items()
+    ) + f" ELSE {default} END"
+    return f"""
+SELECT doc_id, lang, ({h} % 1000) AS bucket, {rate} AS rate_permille
+FROM documents
+WHERE ({h} % 1000) < {rate}"""
+
+
 def fingerprint_sql(dialect: str, k: int = 16, window: int = 8) -> str:
     """Winnowing fingerprints: hash every k-gram (31-bit sha-derived — the
     oracle-parity stand-in for a rolling hash; the numpy Rabin-Karp kernel
