@@ -435,10 +435,14 @@ def plan_report() -> None:
         "knn_3_maponly": "zero-shuffle map-only plan: centers collected to a "
         "broadcast-sized python closure; a single mapInPandas over the scan.",
         "pip_join_1m_partitioned": "shuffle-both-sides plan for the 1M-polygon "
-        "dimension table: NO BroadcastExchange — the salted cell equi-join and "
-        "the poly_id edge join are shuffle hash joins (AQE skew backstop); at "
-        "E executors this shuffles the polygon side once instead of "
-        "replicating it E times.",
+        "dimension table: no broadcast HINT on the polygon side — the salted "
+        "cell equi-join and the poly_id edge join are planned as shuffle "
+        "joins keyed on (cell, salt)/(poly_id). Catalyst remains free to "
+        "broadcast whichever side it ESTIMATES under the threshold (below, "
+        "it picks the locally-tiny PAGES side — correct here, and at 100 TB "
+        "the fact-side estimate forces the shuffle join); the structural "
+        "point is the plan never REQUIRES a broadcastable dimension side or "
+        "a driver collect.",
         "mvt_pyramid_z0_14": "exactly one wide dependency: repartition on "
         "(z, x-expr, y-expr) + sortWithinPartitions feeding the vectorized "
         "encode mapInPandas; only (z,u,v,fid,lang) ride the shuffle (compact "
