@@ -23,16 +23,29 @@ from .zigzag import make_parameter
 
 
 def _ragged_copy(dst, dst_starts, src, src_starts, lengths):
-    """Vectorized copy of variable-length segments src->dst."""
+    """Vectorized copy of variable-length segments src->dst.
+
+    When the source segments are contiguous and in order (the common case:
+    a varint blob consumed start-to-end), the source gather index is
+    skipped entirely — the copy reads src[:total] directly, cutting the
+    temporary index traffic by ~40% (this matters on fault-limited hosts:
+    every big temporary is fresh pages)."""
     lengths = np.asarray(lengths, dtype=np.int64)
     total = int(lengths.sum())
     if total == 0:
         return
     seg_end = np.cumsum(lengths)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(seg_end - lengths, lengths)
-    dst[np.repeat(np.asarray(dst_starts, dtype=np.int64), lengths) + pos] = src[
-        np.repeat(np.asarray(src_starts, dtype=np.int64), lengths) + pos
-    ]
+    seg_start = seg_end - lengths
+    pos = np.arange(total, dtype=np.int64) - np.repeat(seg_start, lengths)
+    dst_idx = np.repeat(np.asarray(dst_starts, dtype=np.int64), lengths)
+    dst_idx += pos
+    src_starts = np.asarray(src_starts, dtype=np.int64)
+    if len(src) >= total and np.array_equal(src_starts, seg_start):
+        dst[dst_idx] = src[:total]
+        return
+    src_idx = np.repeat(src_starts, lengths)
+    src_idx += pos
+    dst[dst_idx] = src[src_idx]
 
 
 def _global_tag_codes(
@@ -143,7 +156,7 @@ def encode_point_layer(
     hdr_len = pbwire.varint_array_lengths(msg_len.astype(np.uint64))
     feat_total = msg_len + 1 + hdr_len
     feat_starts = np.cumsum(feat_total) - feat_total
-    out = np.zeros(int(feat_total.sum()), dtype=np.uint8)
+    out = np.empty(int(feat_total.sum()), dtype=np.uint8)  # fully covered below
 
     # frame header: 0x12 then msg_len varint
     out[feat_starts] = 0x12
@@ -323,7 +336,7 @@ def encode_point_features_sorted(
     hdr_len = pbwire.varint_array_lengths(msg_len.astype(np.uint64))
     feat_total = msg_len + 1 + hdr_len
     feat_starts = np.cumsum(feat_total) - feat_total
-    out = np.zeros(int(feat_total.sum()), dtype=np.uint8)
+    out = np.empty(int(feat_total.sum()), dtype=np.uint8)  # fully covered below
     out[feat_starts] = 0x12
     hdr_blob = np.frombuffer(
         pbwire.varint_array(msg_len.astype(np.uint64)), dtype=np.uint8
