@@ -211,6 +211,14 @@ def q_knn_partitioned(spark, sf_dir):
     )
 
 
+def q_knn_auto(spark, sf_dir):
+    """B9 chooser: broadcast-hybrid vs partitioned by center count
+    (joins.knn_join_auto). Same oracle — the chooser only picks a plan."""
+    return joins.knn_join_auto(
+        _geotagged(spark, sf_dir), fixtures.polygon_centers_df(spark, sf_dir), k=3
+    )
+
+
 def q_raster_to_tile(spark, sf_dir):
     """B10 (vector<->raster reprojection): map each 64x64 raster cell's
     center to its z6 tile + 4096-grid pixel — pure integer/double math."""
@@ -711,11 +719,13 @@ q_ann_lsh_topk, q_ann_lsh_topk_sql = _sql_template(
 q_emb_near_dup, q_emb_near_dup_sql = _sql_template(
     similarity.embedding_near_dup_sql, ("embeddings",)
 )
+q_ann_ivf, q_ann_ivf_sql = _sql_template(similarity.ivf_topk_sql, ("embeddings",))
 q_lang_id, q_lang_id_sql = _sql_template(analysis.lang_scores_sql)
 q_token_stats, q_token_stats_sql = _sql_template(analysis.token_stats_sql)
 q_quality, q_quality_sql = _sql_template(analysis.quality_score_sql)
 q_fingerprint, q_fingerprint_sql = _sql_template(analysis.fingerprint_sql)
 q_rule_filter, q_rule_filter_sql = _sql_template(analysis.rule_filter_sql)
+q_vocab_stats, q_vocab_stats_sql = _sql_template(analysis.vocab_stats_sql)
 q_strat_sample, q_strat_sample_sql = _sql_template(analysis.stratified_sample_sql)
 
 
@@ -856,6 +866,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_3": (q_knn, q_knn_sql),
     "knn_3_maponly": (q_knn_numpy, q_knn_sql),
     "knn_3_partitioned": (q_knn_partitioned, q_knn_sql),
+    "knn_3_auto": (q_knn_auto, q_knn_sql),
     "raster_counts_64": (q_raster_counts, q_raster_counts_sql),
     "raster_to_tile": (q_raster_to_tile, q_raster_to_tile_sql),
     "event_sessions": (q_event_sessions, q_event_sessions_sql),
@@ -885,12 +896,14 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk_maponly": (q_ann_maponly, q_ann_topk_sql),
     "ann_lsh_buckets": (q_lsh_hist, q_lsh_hist_sql),
     "ann_lsh_topk": (q_ann_lsh_topk, q_ann_lsh_topk_sql),
+    "ann_ivf_topk": (q_ann_ivf, q_ann_ivf_sql),
     "embedding_near_dup": (q_emb_near_dup, q_emb_near_dup_sql),
     "lang_id": (q_lang_id, q_lang_id_sql),
     "token_stats": (q_token_stats, q_token_stats_sql),
     "token_regex": (q_token_regex, q_token_regex_sql),
     "quality_score": (q_quality, q_quality_sql),
     "rule_filter": (q_rule_filter, q_rule_filter_sql),
+    "vocab_stats": (q_vocab_stats, q_vocab_stats_sql),
     "stratified_sample": (q_strat_sample, q_strat_sample_sql),
     "fingerprint_winnow": (q_fingerprint, q_fingerprint_sql),
     "media_metadata": (q_media_metadata, q_media_metadata_sql),

@@ -147,6 +147,29 @@ FROM documents
 WHERE ({h} % 1000) < {rate}"""
 
 
+def vocab_stats_sql(dialect: str, top_k: int = 1000) -> str:
+    """Corpus vocabulary statistics: per-token total count + document
+    frequency, top-k by count with a deterministic total order (count desc,
+    token asc) so the cut is engine-independent. The shape that builds a
+    tokenizer vocabulary or a stopword list at corpus scale: one explode +
+    one hash aggregate (map-side partial), then a tiny top-k."""
+    words = split_ws(dialect, "text")
+    if dialect == "spark":
+        toks = (
+            f"SELECT doc_id, tok FROM documents "
+            f"LATERAL VIEW explode({words}) _t AS tok"
+        )
+    else:
+        toks = f"SELECT doc_id, unnest({words}) AS tok FROM documents"
+    return f"""
+WITH toks AS ({toks}),
+agg AS (
+  SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+  FROM toks GROUP BY tok)
+SELECT tok, n_total, n_docs FROM agg
+ORDER BY n_total DESC, tok LIMIT {top_k}"""
+
+
 def fingerprint_sql(dialect: str, k: int = 16, window: int = 8) -> str:
     """Winnowing fingerprints: hash every k-gram (31-bit sha-derived — the
     oracle-parity stand-in for a rolling hash; the numpy Rabin-Karp kernel

@@ -160,6 +160,74 @@ JOIN norms nb ON nb.vec_id = d.vec_b
 WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {threshold}"""
 
 
+def ivf_topk_sql(
+    dialect: str,
+    k: int = 3,
+    n_queries: int = N_QUERIES,
+    nlist: int = 16,
+    nprobe: int = 2,
+    cent_base: int = 100,
+) -> str:
+    """IVF-Flat ANN: a coarse quantizer of ``nlist`` centroids partitions
+    the vectors into inverted lists; each query probes its ``nprobe``
+    nearest lists and ranks candidates by exact quantized cosine.
+
+    The 100 TB shape: assignment is one bounded join against the tiny
+    centroid set (broadcast) + a per-vector argmax; the probe join is an
+    equi-join on list_id — candidates ~ nprobe/nlist of the corpus, never
+    all-pairs, and the lists are exactly how a partitioned ANN index lays
+    out on disk (repartition by list_id). Centroids are a deterministic
+    training sample (vec_ids [cent_base, cent_base+nlist)) so both engines
+    derive the identical quantizer — a k-means refinement would drop in
+    without changing the plan shape.
+    """
+    cosine = (
+        "CAST({d}.dot AS DOUBLE) / (sqrt(CAST({na}.n2 AS DOUBLE)) * "
+        "sqrt(CAST({nb}.n2 AS DOUBLE)))"
+    )
+    return f"""
+WITH {_comp_cte(dialect)},
+cent AS (SELECT vec_id AS cent_id FROM embeddings
+         WHERE vec_id >= {cent_base} AND vec_id < {cent_base + nlist}),
+cdots AS (
+  SELECT cv.vec_id, cc.vec_id AS cent_id, CAST(SUM(cv.q * cc.q) AS BIGINT) AS dot
+  FROM comp cv JOIN comp cc ON cv.p = cc.p
+  JOIN cent ON cent.cent_id = cc.vec_id
+  GROUP BY cv.vec_id, cc.vec_id),
+cscored AS (
+  SELECT d.vec_id, d.cent_id,
+         {cosine.format(d='d', na='na', nb='nb')} AS ccos
+  FROM cdots d JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nb ON nb.vec_id = d.cent_id),
+cranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+  FROM cscored),
+assign AS (SELECT vec_id, cent_id AS list_id FROM cranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS list_id FROM cranked
+  WHERE vec_id < {n_queries} AND crank <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id),
+dots AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
+  FROM cand c JOIN comp ca ON ca.vec_id = c.query_id
+  JOIN comp cb ON cb.vec_id = c.vec_id AND cb.p = ca.p
+  GROUP BY c.query_id, c.vec_id),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         {cosine.format(d='d', na='na', nb='nb')} AS cosine
+  FROM dots d JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
 # ------------------------------------------------------- numpy fast path --
 
 def topk_numpy_df(spark, sf_dir: str, k: int = 3, n_queries: int = N_QUERIES):
