@@ -56,18 +56,20 @@ def _cases():
         ("mvt_pyramid_z0_14", lambda s, d: _mvt_pyramid(s, d, 0, 14)),
         ("geotag_hash_x40", _geotag_hash_x40),
         ("mvt_polygon_tiles_z0_6", _polygon_tiles_z0_6),
-        ("pip_join_50k_broadcast", lambda s, d: _pip_50k(s, d, False)),
-        ("pip_join_50k_partitioned", lambda s, d: _pip_50k(s, d, True)),
-        ("pip_join_1m_broadcast", lambda s, d: _pip_1m(s, d, False)),
-        ("pip_join_1m_partitioned", lambda s, d: _pip_1m(s, d, True)),
-        ("knn_3_50k_hybrid", lambda s, d: _knn_50k(s, d, False)),
-        ("knn_3_50k_partitioned", lambda s, d: _knn_50k(s, d, True)),
         ("mvt_combined_tiles", Q.q_mvt_combined),
         ("events_asof", Q.q_events_asof),
         ("near_dup_jaccard", Q.q_near_dup),
         ("near_dup_clusters", Q.q_near_dup_clusters),
         ("ann_topk_maponly", Q.q_ann_maponly),
         ("media_metadata", Q.q_media_metadata),
+        # big-dimension join-strategy cases LAST: they bloat the JVM heap
+        # and page cache, inflating whatever runs after them in-session
+        ("pip_join_50k_broadcast", lambda s, d: _pip_50k(s, d, False)),
+        ("pip_join_50k_partitioned", lambda s, d: _pip_50k(s, d, True)),
+        ("pip_join_1m_broadcast", lambda s, d: _pip_1m(s, d, False)),
+        ("pip_join_1m_partitioned", lambda s, d: _pip_1m(s, d, True)),
+        ("knn_3_50k_hybrid", lambda s, d: _knn_50k(s, d, False)),
+        ("knn_3_50k_partitioned", lambda s, d: _knn_50k(s, d, True)),
     ]
 
 

@@ -209,11 +209,17 @@ def pip_join_numpy(
     )
 
 
-# Broadcast chooser threshold: ~48 bytes/edge row -> ~10 MB at 200k edges,
-# the classic autoBroadcastJoinThreshold regime. Above it the polygon side
-# must shuffle, not ship to every task.
-BROADCAST_EDGE_LIMIT = 200_000
-BROADCAST_CENTER_LIMIT = 100_000
+# Broadcast chooser thresholds. Edges: ~48 B/row -> ~100 MB at 2M edges,
+# the practical ceiling for a broadcast build side on real executors
+# (hash relation ~2-3x data size against executor memory); measured
+# in-sandbox the broadcast PIP plan also keeps winning through ~400k edges
+# (its second join stays map-side — candidates never hit an exchange) and
+# loses by 1M-polygon scale (bench pip_join_1m_*). Centers: the hybrid kNN
+# collects the center table to the driver and matmuls against ALL of it in
+# the residue kernel — measured losing to the partitioned cascade well
+# before 50k centers, so the cutover is much lower.
+BROADCAST_EDGE_LIMIT = 2_000_000
+BROADCAST_CENTER_LIMIT = 10_000
 
 
 def pip_join_partitioned(
