@@ -83,6 +83,26 @@ def test_salted_compact_encode_byte_identical(spark):
     assert got == want
 
 
+def test_mixed_same_name_merge_falls_back_to_canon(spark):
+    """A pre-encoded tile whose layer NAME collides with the partial
+    stream's layer must merge through the generic re-framer and still
+    produce the canonical bytes of a single-pass encode of the union."""
+    geo = index.with_feature_id(fixtures.geotag_df(fixtures.pages_df(spark, SF_DIR)))
+    df = index.with_tiles(index.with_unit(geo), 0, 0)  # z0 only: one tile
+    # split by feature_id parity: evens pre-encoded, odds as partials
+    evens = df.filter("pmod(feature_id, 2) = 0")
+    odds = df.filter("pmod(feature_id, 2) = 1")
+    pre = tiler.encode_point_tiles(evens).select("z", "x", "y", "mvt", "n_features")
+    parts = tiler.encode_point_partials(odds, n_salt=2).unionByName(
+        tiler.tiles_as_partial_rows(pre)
+    )
+    merged = tiler.merge_partial_tiles(parts).toPandas()
+    want = tiler.encode_point_tiles(df).toPandas()
+    assert len(merged) == 1 and len(want) == 1
+    assert merged["mvt_sha256"].iloc[0] == want["mvt_sha256"].iloc[0]
+    assert int(merged["n_layers"].iloc[0]) == 1
+
+
 def test_combined_tiles_decode(spark):
     """Merged point+polygon tiles decode to the union of the layers."""
     from engine.pipeline.queries import REGISTRY
