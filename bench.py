@@ -141,6 +141,10 @@ def run_once(case_filter=None) -> dict:
         else:
             counters[f"{name}_rows"] = df.count()
         t_total += dt
+        # the kNN cascade / cluster loops persist() intermediates whose
+        # lifetime is the query; drop them so one case's cached blocks
+        # don't squeeze the heap of every case after it
+        spark.catalog.clearCache()
 
     if "mvt_pyramid_z0_14" in results:
         counters["tiles_per_sec"] = round(
