@@ -133,6 +133,52 @@ SELECT url, {index.cell_expr(z, f'({cx})', f'({cy})', 'duckdb')} AS cell
 FROM geotagged"""
 
 
+def q_cell_kring(spark, sf_dir):
+    """B6 expansion op: each page's 1-ring of Morton cells at the bucketing
+    zoom (x wraps the antimeridian, y clamps at the poles) — the relational
+    twin of engine.spatial.cells.k_ring, the candidate-generation primitive
+    the kNN cascade builds on."""
+    z = index.CELL_Z
+    n = 1 << z
+    df = index.with_unit(_geotagged(spark, sf_dir))
+    df = df.selectExpr(
+        "url",
+        f"least(cast({n} as bigint) - 1, greatest(cast(0 as bigint), cast(floor(u * {n}) as bigint))) as cx",
+        f"least(cast({n} as bigint) - 1, greatest(cast(0 as bigint), cast(floor(v * {n}) as bigint))) as cy",
+    )
+    df = df.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1)))).withColumn(
+        "dj", F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    )
+    df = df.filter(f"cy + dj >= 0 AND cy + dj <= {n - 1}")
+    wrapped = f"(((cx + di) % {n} + {n}) % {n})"
+    return df.selectExpr(
+        "url", f"{index.cell_expr(z, wrapped, '(cy + dj)', 'spark')} as neighbor_cell"
+    ).distinct()
+
+
+def q_cell_kring_sql(sf_dir):
+    u = index.unit_u_expr()
+    v = index.unit_v_expr()
+    z = index.CELL_Z
+    n = 1 << z
+    wrapped = f"(((cx + di) % {n} + {n}) % {n})"
+    return f"""
+WITH {fixtures.pages_cte(sf_dir)}, {fixtures.geotag_cte()},
+cells AS (
+  SELECT url,
+         least(CAST({n} AS BIGINT) - 1, greatest(CAST(0 AS BIGINT), CAST(floor(({u}) * {n}) AS BIGINT))) AS cx,
+         least(CAST({n} AS BIGINT) - 1, greatest(CAST(0 AS BIGINT), CAST(floor(({v}) * {n}) AS BIGINT))) AS cy
+  FROM geotagged),
+ring AS (
+  SELECT url, cx, cy, di.di, dj.dj
+  FROM cells
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS di) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dj) dj
+  WHERE cy + dj >= 0 AND cy + dj <= {n - 1})
+SELECT DISTINCT url, {index.cell_expr(z, wrapped, '(cy + dj)', 'duckdb')} AS neighbor_cell
+FROM ring"""
+
+
 def q_pip_join(spark, sf_dir):
     """B8: point-in-polygon join (bbox prefilter + crossing parity)."""
     return joins.pip_join(
@@ -858,6 +904,7 @@ REGISTRY: dict[str, tuple] = {
     "tile_counts_pyramid": (q_tile_counts, q_tile_counts_sql),
     "pyramid_rollup": (q_pyramid_rollup, q_pyramid_rollup_sql),
     "cell_index_z12": (q_cell_index, q_cell_index_sql),
+    "cell_kring": (q_cell_kring, q_cell_kring_sql),
     "pip_join": (q_pip_join, q_pip_join_sql),
     "pip_join_maponly": (q_pip_join_numpy, q_pip_join_sql),
     "pip_join_partitioned": (q_pip_partitioned, q_pip_join_sql),
