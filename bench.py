@@ -107,6 +107,21 @@ def _pyramid_shuffled_sorted(spark, sf_dir):
     return parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
 
 
+def _code_stamp() -> str:
+    """Git identity of the code being measured. Runs from a dirty tree are
+    stamped '-dirty' and never merged across invocations (two dirty trees at
+    the same commit can differ), so stale minima cannot mask regressions."""
+    try:
+        r = subprocess.run(
+            ["git", "describe", "--always", "--dirty"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
 def run_once(case_filter=None) -> dict:
     from engine.pipeline.session import get_spark
 
@@ -120,7 +135,15 @@ def run_once(case_filter=None) -> dict:
     t_total = 0.0
     cases = list(_cases())
     if case_filter:
-        cases += [c for c in _stage_cases() if c[0] in case_filter]
+        # stage-isolation prefixes run immediately BEFORE the full pyramid
+        # (cumulative prefixes, adjacent JVM state) and before the big-
+        # dimension cases that bloat the heap for whatever follows them
+        stage = [c for c in _stage_cases() if c[0] in case_filter]
+        if stage:
+            at = next(
+                i for i, c in enumerate(cases) if c[0] == "mvt_pyramid_z0_14"
+            )
+            cases[at:at] = stage
     for name, builder in cases:
         if case_filter and name not in case_filter:
             continue
@@ -166,6 +189,7 @@ def run_once(case_filter=None) -> dict:
         "queries": results,
         "sf": SF_DIR.rstrip("/").split("/")[-1],
         "cpus": CPUS,
+        "code": _code_stamp(),
         "counters": {k: v for k, v in counters.items() if v is not None},
     }
     spark.stop()
@@ -202,7 +226,11 @@ def _pip_50k(spark, sf_dir, partitioned: bool):
     edges = fixtures.polygon_edges_table(spark, BENCH_POLY_N)
     geo = fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
     if partitioned:
-        return joins.pip_join_partitioned(geo, edges, grid_deg=2.0)
+        # max_edges_per_poly from fixture stats (closed-form: <= 8),
+        # the Iceberg-snapshot shape — no per-run detection job
+        return joins.pip_join_partitioned(
+            geo, edges, grid_deg=2.0, max_edges_per_poly=8
+        )
     return joins.pip_join(geo, edges, grid_deg=2.0)
 
 
@@ -216,7 +244,9 @@ def _pip_1m(spark, sf_dir, partitioned: bool):
     edges = fixtures.polygon_edges_table_bulk(spark, BENCH_POLY_N_XL)
     geo = fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
     if partitioned:
-        return joins.pip_join_partitioned(geo, edges, grid_deg=0.5)
+        return joins.pip_join_partitioned(
+            geo, edges, grid_deg=0.5, max_edges_per_poly=8
+        )
     return joins.pip_join(geo, edges, grid_deg=0.5)
 
 
@@ -226,8 +256,8 @@ def _knn_50k(spark, sf_dir, partitioned: bool):
     centers = fixtures.polygon_centers_table(spark, BENCH_POLY_N)
     geo = fixtures.geotag_df(fixtures.pages_df(spark, sf_dir))
     if partitioned:
-        return joins.knn_join_partitioned(geo, centers, k=3)
-    return joins.knn_join(geo, centers, k=3)
+        return joins.knn_join_partitioned(geo, centers, k=3, n_centers=BENCH_POLY_N)
+    return joins.knn_join(geo, centers, k=3, n_centers=BENCH_POLY_N)
 
 
 def _geotag_hash_x40(spark, sf_dir):
@@ -275,7 +305,14 @@ def _harvest_prev_raws(path: str = "BENCH/BASELINE.md") -> list[dict]:
     """Raw per-run JSON lines recorded in the existing report: each
     regeneration re-harvests them, so minima ACCUMULATE across invocations
     (the sandbox's bursty background noise means more alternated runs =
-    a tighter estimate of the engine's own cost)."""
+    a tighter estimate of the engine's own cost).
+
+    Guard: only runs whose "code" stamp equals THIS tree's clean git commit
+    are merged — timings measured on older (or dirty) code never become
+    sticky minima attributed to HEAD, so a regression always shows."""
+    stamp = _code_stamp()
+    if stamp.endswith("-dirty") or stamp == "unknown":
+        return []
     try:
         text = open(path).read()
     except OSError:
@@ -285,21 +322,26 @@ def _harvest_prev_raws(path: str = "BENCH/BASELINE.md") -> list[dict]:
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
             try:
-                out.append(json.loads(line))
+                run = json.loads(line)
             except ValueError:
-                pass
+                continue
+            if run.get("code") == stamp:
+                out.append(run)
     return out
 
 
 def _best_of(runs: list[dict]) -> dict:
     """Per-case minimum time across repeated runs — the sandbox has bursty
     background noise (2-4x run-to-run variance), so best-of-N is the
-    faithful estimate of the engine's own cost."""
+    faithful estimate of the engine's own cost. The headline total is
+    recomputed from the merged minima so the table and the totals line
+    always agree."""
     best = json.loads(json.dumps(runs[0]))
     for r in runs[1:]:
         for case, t in r["queries"].items():
             if t < best["queries"][case]:
                 best["queries"][case] = t
+    best["value"] = round(sum(best["queries"].values()), 3)
     return best
 
 
@@ -330,17 +372,16 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
             if p.get("cpus") == c and needed <= set(p.get("queries", {}))
         ]
     best = {c: _best_of(runs[c]) for c in counts}
-    headline = {c: _subprocess_run(c, None) for c in (8, 32)}
+    headline_raw = {c: [_subprocess_run(c, None)] for c in (8, 32)}
+    headline = {}
     for c in (8, 32):
-        hc = set(headline[c]["queries"])
-        headline[c] = _best_of(
-            [headline[c]]
-            + [
-                p
-                for p in prev
-                if p.get("cpus") == c and hc <= set(p.get("queries", {}))
-            ]
-        )
+        hc = set(headline_raw[c][0]["queries"])
+        headline_raw[c] += [
+            p
+            for p in prev
+            if p.get("cpus") == c and hc <= set(p.get("queries", {}))
+        ]
+        headline[c] = _best_of(headline_raw[c])
     lines = [
         "# BENCH — scaling evidence (N vs 4N cores, sandbox substitute for executors)",
         "",
@@ -416,13 +457,13 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
             for case in headline[8]["queries"]
         ],
         "",
-        f"Totals: local[8] {headline[8]['value']:.1f}s, "
-        f"local[32] {headline[32]['value']:.1f}s.",
+        f"Totals (sum of the per-case minima above): local[8] "
+        f"{headline[8]['value']:.1f}s, local[32] {headline[32]['value']:.1f}s.",
         "",
-        "Raw headline JSON:",
+        "Raw headline JSON (one line per RUN, git-stamped; regeneration",
+        "merges only lines whose `code` matches the clean HEAD commit):",
         "```json",
-        json.dumps(headline[8]),
-        json.dumps(headline[32]),
+        *[json.dumps(r) for c in (8, 32) for r in headline_raw[c]],
         "```",
     ]
     lines += [
@@ -449,9 +490,9 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
         "  shuffle once, broadcast the dimension side, and keep Python",
         "  vectorized, so the ceiling does not apply on real executors.",
         "",
-        "Raw JSON (best-of per core count):",
+        "Raw JSON (one line per scaling RUN, git-stamped):",
         "```json",
-        *[json.dumps(best[c]) for c in counts],
+        *[json.dumps(r) for c in counts for r in runs[c]],
         "```",
     ]
     os.makedirs("BENCH", exist_ok=True)

@@ -198,6 +198,22 @@ def polygons_np(n_polys: int):
     return out
 
 
+def polygon_table_stats(n_polys: int) -> dict:
+    """Closed-form dimension-table stats for the fixture polygons — the
+    Iceberg-snapshot-stats shape the join choosers consume (n_edges,
+    max_edges_per_poly, n_centers) without running a count() job at query
+    time. Derivation mirrors polygons_np: k = 4 + pid%5 exterior edges,
+    plus k hole edges for the 20% (pid%5==0) with a hole."""
+    ks = 4 + np.arange(n_polys, dtype=np.int64) % 5
+    per_poly = ks + ks * (np.arange(n_polys) % 5 == 0)
+    return {
+        "n_polys": n_polys,
+        "n_centers": n_polys,
+        "n_edges": int(per_poly.sum()),
+        "max_edges_per_poly": int(per_poly.max()) if n_polys else 0,
+    }
+
+
 def polygon_edges_np(n_polys: int):
     """Flat edge table (poly_id, ring_idx, x1, y1, x2, y2) over OPEN rings —
     the shared representation for ray casting on both engines."""

@@ -31,6 +31,18 @@ CROSSING_COND = (
 PIP_GRID_DEG = 8.0  # bucket grid for the prepared-polygon stage
 
 
+def pip_grid_deg(n_edges: int) -> float:
+    """Density-adaptive candidate-grid width: shrink cells as the polygon
+    table grows so per-cell polygon fanout (and with it the candidate-join
+    blowup) stays roughly constant. Anchored on the two measured calibration
+    points (362k edges -> 2.0 deg, 6.2M edges -> 0.5 deg; bench cases
+    pip_join_50k/_1m), i.e. w ~ n_edges^-1/2, clamped to the fixture
+    default at the small end."""
+    return float(
+        min(PIP_GRID_DEG, max(0.05, (1_450_000.0 / max(n_edges, 1)) ** 0.5))
+    )
+
+
 def poly_bbox(edges: DataFrame) -> DataFrame:
     return edges.groupBy("poly_id").agg(
         F.least(F.min("x1"), F.min("x2")).alias("bx0"),
@@ -222,12 +234,19 @@ BROADCAST_EDGE_LIMIT = 2_000_000
 BROADCAST_CENTER_LIMIT = 10_000
 
 
+# a polygon with this many edges concentrates its candidates x edges join
+# rows on one reducer; past it the edge join salts that polygon selectively
+EDGE_SALT_EDGES_PER_POLY = 10_000
+
+
 def pip_join_partitioned(
     geotagged: DataFrame,
     edges: DataFrame,
     grid_deg: float | None = None,
     n_salt: int = 4,
-    salt_edges: bool = False,
+    salt_edges: bool | None = None,
+    max_edges_per_poly: int | None = None,
+    edge_salt_threshold: int = EDGE_SALT_EDGES_PER_POLY,
 ) -> DataFrame:
     """PIP join, shuffle-both-sides path: for polygon tables too large to
     broadcast (a country-scale OSM table: 10^7 polygons x 10^2 vertices).
@@ -239,11 +258,19 @@ def pip_join_partitioned(
     so a hot cell (urban polygon cluster under a page-dense area) spreads
     over n_salt reducers instead of one. Salting replicates the polygon
     side's shuffle bytes x n_salt, so the factor stays small; AQE
-    skew-join is the backstop for residual imbalance. The candidates-x-
-    edges join on poly_id gets the same treatment behind ``salt_edges``
-    (off by default — poly_id skew needs a mega-polygon under a page-dense
-    area AND is already split by the cell salt upstream). Salting only
-    changes routing — output is identical to pip_join, same oracle.
+    skew-join is the backstop for residual imbalance.
+
+    The candidates-x-edges join on poly_id is skew-guarded too: a
+    MEGA-polygon (10^4+ edges — a country polygon in OSM — under a
+    page-dense area) would concentrate candidates x edges rows on one
+    reducer. ``salt_edges=None`` (default) auto-detects from the per-poly
+    edge-count maximum (one tiny dimension-side aggregate; pass
+    ``max_edges_per_poly`` from table stats to skip it); when on, ONLY
+    polygons at/above ``edge_salt_threshold`` edges are replicated n_salt
+    ways (selective salting — total edge shuffle bytes grow by n_salt x
+    the skewed share, not n_salt x everything), everything else joins on
+    salt 0. Salting only changes routing — output is identical to
+    pip_join, same oracle.
     """
     bbox = poly_bbox(edges)
     w = grid_deg or PIP_GRID_DEG
@@ -269,11 +296,48 @@ def pip_join_partitioned(
         )
         .select("url", "lat", "lon", "poly_id", "_salt")
     )
+    if salt_edges is None:
+        if max_edges_per_poly is None:
+            max_edges_per_poly = (
+                edges.groupBy("poly_id")
+                .agg(F.count("*").alias("_ne"))
+                .agg(F.max("_ne"))
+                .collect()[0][0]
+            ) or 0
+        salt_edges = max_edges_per_poly >= edge_salt_threshold
     if salt_edges:
-        edges_s = edges.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        # selective salting: the skewed-poly list is tiny by construction
+        # (mega-polygons), so it broadcasts to tag both join sides
+        skewed = (
+            edges.groupBy("poly_id")
+            .agg(F.count("*").alias("_ne"))
+            .filter(F.col("_ne") >= edge_salt_threshold)
+            .select("poly_id", F.lit(True).alias("_skew"))
         )
-        paired = candidates.join(edges_s, ["poly_id", "_salt"])
+        edges_s = (
+            edges.join(F.broadcast(skewed), "poly_id", "left")
+            .withColumn(
+                "_salt_e",
+                F.explode(
+                    F.when(
+                        F.col("_skew").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_skew")
+        )
+        cand_s = (
+            candidates.join(F.broadcast(skewed), "poly_id", "left")
+            .withColumn(
+                "_salt_e",
+                F.when(F.col("_skew").isNotNull(), F.col("_salt")).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .drop("_skew", "_salt")
+        )
+        paired = cand_s.join(edges_s, ["poly_id", "_salt_e"])
     else:
         paired = candidates.drop("_salt").join(edges, "poly_id")
     crossings = (
@@ -287,19 +351,28 @@ def pip_join_partitioned(
 
 
 def pip_join_auto(
-    geotagged: DataFrame, edges: DataFrame, n_edges: int | None = None
+    geotagged: DataFrame,
+    edges: DataFrame,
+    n_edges: int | None = None,
+    max_edges_per_poly: int | None = None,
 ) -> DataFrame:
     """Size-based chooser between the broadcast and partitioned PIP plans.
 
-    ``n_edges`` is the polygon-side row count — at real scale it comes from
-    table metadata (Iceberg snapshot stats); a count() on the dimension
-    table is the fallback (one cheap metadata-ish job, never on the fact
-    side)."""
+    ``n_edges`` / ``max_edges_per_poly`` are polygon-side stats — at real
+    scale they come from table metadata (Iceberg snapshot stats + a
+    partition-level max); a count() on the dimension table is the fallback
+    (one cheap metadata-ish job, never on the fact side). The candidate
+    grid width derives from n_edges (pip_grid_deg) so the per-cell fanout
+    stays bounded in exactly the large-dimension regime the partitioned
+    plan targets."""
     if n_edges is None:
         n_edges = edges.count()
+    w = pip_grid_deg(n_edges)
     if n_edges <= BROADCAST_EDGE_LIMIT:
-        return pip_join(geotagged, edges)
-    return pip_join_partitioned(geotagged, edges)
+        return pip_join(geotagged, edges, grid_deg=w)
+    return pip_join_partitioned(
+        geotagged, edges, grid_deg=w, max_edges_per_poly=max_edges_per_poly
+    )
 
 
 def asof_join(
@@ -367,6 +440,27 @@ def _topk(paired: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _topk_two_phase(paired: DataFrame, k: int, n_chunks: int = 32) -> DataFrame:
+    """Top-k over a pairing whose per-url group may be huge (e.g. the
+    residue x full-center-table exact join): phase 1 takes a local top-k
+    within (url, center-hash chunk) — bounding any single window task to
+    ~|centers|/n_chunks rows — phase 2 merges the n_chunks*k survivors per
+    url. Identical output to _topk (row_number over the same total order)."""
+    d = _with_dist2(paired).withColumn(
+        "_chunk", F.pmod(F.xxhash64("poly_id"), F.lit(n_chunks))
+    )
+    w1 = Window.partitionBy("url", "_chunk").orderBy("dist2", "poly_id")
+    local = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_chunk")
+    )
+    w2 = Window.partitionBy("url").orderBy("dist2", "poly_id")
+    return local.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_bruteforce(geotagged: DataFrame, centers: DataFrame, k: int = 3) -> DataFrame:
     """Exact kNN via full cross join + window top-k (the baseline path)."""
     paired = geotagged.select("url", "lat", "lon").join(F.broadcast(centers))
@@ -379,6 +473,7 @@ def knn_join(
     k: int = 3,
     cell_deg: float | None = None,
     level_mults: tuple[float, ...] = (1.0,),
+    n_centers: int | None = None,
 ) -> DataFrame:
     """Exact kNN, scale path (B9): cell-neighbor candidate expansion.
 
@@ -405,7 +500,8 @@ def knn_join(
     density-adaptive W targeting a high verify rate at level 1.
     """
     if cell_deg is None:
-        n_centers = centers.count()  # dimension side: tiny, already driver-known
+        if n_centers is None:
+            n_centers = centers.count()  # dimension side: tiny, driver-known
         cell_deg = min(KNN_CELL_DEG, max(2.0, (129900.0 / max(n_centers, 1)) ** 0.5))
     # persist the narrow (url,lat,lon) projection and each level's verified
     # output: the cascade's anti-joins would otherwise replay the upstream
@@ -541,6 +637,11 @@ def knn_join_numpy(
     )
 
 
+# bound on residue_pages x centers pairs for the terminal exact join; past
+# it the cascade keeps widening instead of planning a cartesian
+KNN_RESIDUE_CROSS_LIMIT = 200_000_000
+
+
 def knn_join_partitioned(
     geotagged: DataFrame,
     centers: DataFrame,
@@ -548,6 +649,7 @@ def knn_join_partitioned(
     cell_deg: float | None = None,
     level_mults: tuple[float, ...] = (1.0, 4.0, 16.0),
     n_salt: int = 4,
+    n_centers: int | None = None,
 ) -> DataFrame:
     """Exact kNN, shuffle-both-sides path: for center tables too large to
     broadcast or collect (knn_join broadcasts the 3x3-neighbor table and
@@ -558,21 +660,28 @@ def knn_join_partitioned(
     candidate join is a SHUFFLE hash join on (cell, salt): centers explode
     into their 3x3 neighborhood AND n_salt salt replicas, pages pick one
     salt by url hash — a hot cell spreads over n_salt reducers. Widening
-    level_mults shrink the residue without any single-task state; the final
-    residue (pages with no provable top-k at any level, e.g. polar pages)
-    is resolved by a plain cross join + window top-k — the residue is the
-    sparse far-from-everything tail, so the cross join is tiny relative to
-    the input. Output equals exact kNN; shares knn_join's oracle.
+    level_mults shrink the residue without any single-task state.
+
+    The terminal residue (pages with no provable top-k at any level, e.g.
+    polar pages) is NEVER an unconditional fact x dim cross join: the
+    residue is counted first (it is already persisted — O(1) extra work);
+    an empty residue skips the join entirely; a residue whose pairs-product
+    with the center table exceeds KNN_RESIDUE_CROSS_LIMIT (a pathological
+    geography: a dense page cluster far from ALL centers) triggers further
+    x4 cell widenings until the product is bounded or the cells cover the
+    plane; only then does the (now provably bounded) exact join run, with
+    a two-phase top-k so no single task windows the full center table.
+    Output equals exact kNN; shares knn_join's oracle.
     """
-    if cell_deg is None:
+    if n_centers is None:
         n_centers = centers.count()  # table-stats surrogate (see pip_join_auto)
+    if cell_deg is None:
         cell_deg = min(KNN_CELL_DEG, max(2.0, (129900.0 / max(n_centers, 1)) ** 0.5))
     pages = geotagged.select("url", "lat", "lon").persist()
     resolved = []
     remaining = pages
-    for w in (m * cell_deg for m in level_mults):
-        if w >= 120.0:
-            break
+
+    def run_level(remaining, w):
         cell = f"cast(floor(%s / {w}) as bigint)"
         pages_c = (
             remaining.withColumn("cx", F.expr(cell % "lon"))
@@ -604,13 +713,36 @@ def knn_join_partitioned(
             .persist()
         )
         resolved.append(good)
-        remaining = remaining.join(
+        return remaining.join(
             good.select("url").distinct(), "url", "left_anti"
         ).persist()
-    paired = remaining.crossJoin(centers.select("poly_id", "clon", "clat"))
-    out = _topk(paired, k).select("url", "poly_id", "dist2", "rank")
+
+    w = cell_deg
+    for m in level_mults:
+        w = m * cell_deg
+        if w >= 120.0:
+            break
+        remaining = run_level(remaining, w)
+
+    # terminal residue: count guard + adaptive widening before any exact join
+    n_residue = remaining.count()
+    while n_residue * n_centers > KNN_RESIDUE_CROSS_LIMIT and w * 4 < 120.0:
+        w = w * 4
+        remaining = run_level(remaining, w)
+        n_residue = remaining.count()
+    if n_residue * n_centers > KNN_RESIDUE_CROSS_LIMIT:
+        raise RuntimeError(
+            f"knn_join_partitioned residue {n_residue} pages x {n_centers} "
+            "centers exceeds KNN_RESIDUE_CROSS_LIMIT even at plane-covering "
+            "cell width — the geography defeats cell pruning; raise the "
+            "limit explicitly if O(residue x centers) work is acceptable"
+        )
+    out = None
+    if n_residue > 0 or not resolved:
+        paired = remaining.crossJoin(centers.select("poly_id", "clon", "clat"))
+        out = _topk_two_phase(paired, k).select("url", "poly_id", "dist2", "rank")
     for good in resolved:
-        out = out.unionByName(good)
+        out = good if out is None else out.unionByName(good)
     return out
 
 
@@ -625,5 +757,5 @@ def knn_join_auto(
     if n_centers is None:
         n_centers = centers.count()
     if n_centers <= BROADCAST_CENTER_LIMIT:
-        return knn_join(geotagged, centers, k)
-    return knn_join_partitioned(geotagged, centers, k)
+        return knn_join(geotagged, centers, k, n_centers=n_centers)
+    return knn_join_partitioned(geotagged, centers, k, n_centers=n_centers)

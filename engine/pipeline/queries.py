@@ -208,9 +208,15 @@ def q_pip_partitioned(spark, sf_dir):
 
 def q_pip_auto(spark, sf_dir):
     """B8 chooser: broadcast vs partitioned by dimension-side size
-    (joins.pip_join_auto). Same oracle — the chooser only picks a plan."""
+    (joins.pip_join_auto), fed from fixture table stats (the Iceberg-
+    snapshot shape) so the plan needs no count() job. Same oracle — the
+    chooser only picks a plan."""
+    stats = fixtures.polygon_table_stats(fixtures.poly_count_for(sf_dir))
     return joins.pip_join_auto(
-        _geotagged(spark, sf_dir), fixtures.polygon_edges_df(spark, sf_dir)
+        _geotagged(spark, sf_dir),
+        fixtures.polygon_edges_df(spark, sf_dir),
+        n_edges=stats["n_edges"],
+        max_edges_per_poly=stats["max_edges_per_poly"],
     )
 
 
@@ -259,9 +265,13 @@ def q_knn_partitioned(spark, sf_dir):
 
 def q_knn_auto(spark, sf_dir):
     """B9 chooser: broadcast-hybrid vs partitioned by center count
-    (joins.knn_join_auto). Same oracle — the chooser only picks a plan."""
+    (joins.knn_join_auto), fed from fixture table stats so the plan needs
+    no count() job. Same oracle — the chooser only picks a plan."""
     return joins.knn_join_auto(
-        _geotagged(spark, sf_dir), fixtures.polygon_centers_df(spark, sf_dir), k=3
+        _geotagged(spark, sf_dir),
+        fixtures.polygon_centers_df(spark, sf_dir),
+        k=3,
+        n_centers=fixtures.poly_count_for(sf_dir),
     )
 
 

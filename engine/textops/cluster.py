@@ -43,6 +43,7 @@ def connected_components(
     )
     labels = nodes.selectExpr("doc_id", "doc_id as label").persist()
     prev = None
+    converged = False
     for _ in range(max_iters):
         msgs = edges.join(
             labels.selectExpr("doc_id as dst", "label"), "dst"
@@ -57,9 +58,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if sig == prev:  # sum(labels) strictly decreases until fixpoint
+            converged = True
             break
         prev = sig
     edges.unpersist()
+    if not converged:
+        # labels short of fixpoint are WRONG cluster ids (a component with
+        # diameter > max_iters keeps multiple labels) — fail loudly rather
+        # than return silently-partial clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.selectExpr(
         "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
     )
