@@ -160,3 +160,32 @@ def polygon_verify_sql(sf_dir: str, z_min: int, z_max: int) -> str:
         "SELECT z, x, y, layer, COUNT(*) AS n_features "
         "FROM surv GROUP BY z, x, y, layer"
     )
+
+
+def polygon_coords_sql(sf_dir: str, z_min: int, z_max: int) -> str:
+    """Coordinate-exact oracle for the polygon layer round-trip
+    (mvt_polygon_coords): per surviving (tile, feature), the DISTINCT
+    quantized exterior-ring vertex set's count/sum stats plus |area2| (the
+    doubled shoelace the encoder's survival test evaluates). The decoded
+    ring may carry consecutive duplicate pixels and an arbitrary start/
+    winding, so the checked projection is order-free: the distinct vertex
+    set and the absolute area are invariant under rotation, reversal, and
+    consecutive duplication, while still pinning every decoded coordinate
+    value (any wrong pixel changes the set stats)."""
+    return f"""
+WITH {survival_ctes(sf_dir, z_min, z_max)},
+dverts AS (SELECT DISTINCT poly_id, z, x, y, qx, qy FROM ordv),
+vstats AS (
+  SELECT poly_id, z, x, y,
+         COUNT(*) AS n_pts,
+         SUM(qx) AS sum_qx, SUM(qy) AS sum_qy,
+         MIN(qx) AS min_qx, MAX(qx) AS max_qx,
+         MIN(qy) AS min_qy, MAX(qy) AS max_qy
+  FROM dverts GROUP BY 1, 2, 3, 4)
+SELECT a.z, a.x, a.y, a.poly_id AS feature_id,
+       v.n_pts, v.sum_qx, v.sum_qy,
+       v.min_qx, v.max_qx, v.min_qy, v.max_qy,
+       abs(a.area2) AS area2_abs
+FROM area a JOIN vstats v
+  ON a.poly_id = v.poly_id AND a.z = v.z AND a.x = v.x AND a.y = v.y
+WHERE a.area2 != 0"""

@@ -437,3 +437,68 @@ def encode_polygon_tiles(
         lambda batches: carry_group_iter(batches, _encode_poly_vertex_batch),
         TILE_SCHEMA,
     )
+
+
+def decode_polygon_coords(tiles: DataFrame, layer: str = "polygons") -> DataFrame:
+    """B16 at coordinate granularity for the POLYGON layer: decode every
+    emitted tile with the engine's own reader (tile decode -> geometry
+    command words -> rings), take each feature's EXTERIOR ring, and emit
+    the order-free projection the clip oracle can reproduce exactly
+    (engine.pipeline.polyoracle.polygon_coords_sql): distinct quantized
+    vertex count/sums/extrema + |2*shoelace|. Closes the count-only blind
+    spot of the decoded-count verify — every decoded pixel value is pinned.
+    Verification operator: per-tile decode loops are the decoder's own,
+    off the bench path."""
+
+    def run(batches):
+        cols = (
+            "z", "x", "y", "feature_id", "n_pts", "sum_qx", "sum_qy",
+            "min_qx", "max_qx", "min_qy", "max_qy", "area2_abs",
+        )
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for zt, xt, yt, data in zip(pdf["z"], pdf["x"], pdf["y"], pdf["mvt"]):
+                layers = tilemod.decode_tile(bytes(data))
+                if layer not in layers:
+                    continue
+                for f in layers[layer]["features"]:
+                    words = np.asarray(f["geometry"], dtype=np.uint32)
+                    _, polys = geomstream.decode_polygons(words, flip_y=True)
+                    if isinstance(polys[0], list):  # MultiPolygon nesting
+                        ext = polys[0][0]
+                    else:  # Polygon: [ext, holes...]
+                        ext = polys[0]
+                    ring = np.asarray(ext, dtype=np.int64)[:-1]  # drop closure
+                    xs, ys = ring[:, 0], ring[:, 1]
+                    area2 = abs(
+                        int(
+                            np.dot(xs, np.roll(ys, -1))
+                            - np.dot(np.roll(xs, -1), ys)
+                        )
+                    )
+                    uniq = np.unique(ring, axis=0)
+                    rows["z"].append(int(zt))
+                    rows["x"].append(int(xt))
+                    rows["y"].append(int(yt))
+                    rows["feature_id"].append(int(f["id"]))
+                    rows["n_pts"].append(len(uniq))
+                    rows["sum_qx"].append(int(uniq[:, 0].sum()))
+                    rows["sum_qy"].append(int(uniq[:, 1].sum()))
+                    rows["min_qx"].append(int(uniq[:, 0].min()))
+                    rows["max_qx"].append(int(uniq[:, 0].max()))
+                    rows["min_qy"].append(int(uniq[:, 1].min()))
+                    rows["max_qy"].append(int(uniq[:, 1].max()))
+                    rows["area2_abs"].append(area2)
+            yield pd.DataFrame(
+                {
+                    c: pd.array(rows[c], dtype="int32" if c == "z" else "int64")
+                    for c in cols
+                }
+            )
+
+    return tiles.select("z", "x", "y", "mvt").mapInPandas(
+        run,
+        "z int, x long, y long, feature_id long, n_pts long, sum_qx long, "
+        "sum_qy long, min_qx long, max_qx long, min_qy long, max_qy long, "
+        "area2_abs long",
+    )

@@ -86,7 +86,7 @@ SELECT doc_id,
 FROM documents"""
 
 
-def rule_filter_sql(dialect: str) -> str:
+def rule_filter_sql(dialect: str, src: str = "documents") -> str:
     """Gopher-style rule-based document filter: per-doc signals + one
     boolean keep decision + the first failing rule as the drop reason —
     the operator a pretraining corpus pipeline runs before tokenization.
@@ -112,7 +112,7 @@ WITH sig AS (
          {space_ratio} AS space_ratio,
          ({stop}) AS stop_hits,
          length(text) - length(replace(text, '.', '')) AS n_periods
-  FROM documents)
+  FROM {src})
 SELECT doc_id, n_words, mean_word_len, space_ratio, stop_hits, n_periods,
        (n_words BETWEEN 15 AND 100000)
          AND (mean_word_len BETWEEN 2.0 AND 12.0)
@@ -128,23 +128,66 @@ SELECT doc_id, n_words, mean_word_len, space_ratio, stop_hits, n_periods,
 FROM sig"""
 
 
-def stratified_sample_sql(dialect: str, rates: dict[str, int] | None = None) -> str:
-    """Deterministic stratified sampling: keep doc iff
-    hash31(doc_id) % 1000 < rate_permille(lang). Hash-based so the sample
-    is reproducible across engines/runs and joins (no RNG state) — the
-    standard trick for down-sampling over-represented strata in a corpus
-    mix. rate defaults: en 200‰, zh 500‰, others 800‰.
-    """
+def _strata_exprs(dialect: str, rates: dict[str, int] | None) -> tuple[str, str]:
+    """(bucket_expr, rate_expr) shared by the sampling operators."""
     rates = rates or {"en": 200, "zh": 500}
     default = 800
     h = a31(dialect, "CAST(doc_id AS VARCHAR)" if dialect == "duckdb" else "cast(doc_id as string)")
     rate = "CASE " + " ".join(
         f"WHEN lang = '{l}' THEN {r}" for l, r in rates.items()
     ) + f" ELSE {default} END"
+    return f"({h} % 1000)", rate
+
+
+def stratified_sample_sql(
+    dialect: str, rates: dict[str, int] | None = None, src: str = "documents"
+) -> str:
+    """Deterministic stratified sampling: keep doc iff
+    hash31(doc_id) % 1000 < rate_permille(lang). Hash-based so the sample
+    is reproducible across engines/runs and joins (no RNG state) — the
+    standard trick for down-sampling over-represented strata in a corpus
+    mix. rate defaults: en 200‰, zh 500‰, others 800‰.
+    """
+    bucket, rate = _strata_exprs(dialect, rates)
     return f"""
-SELECT doc_id, lang, ({h} % 1000) AS bucket, {rate} AS rate_permille
-FROM documents
-WHERE ({h} % 1000) < {rate}"""
+SELECT doc_id, lang, {bucket} AS bucket, {rate} AS rate_permille
+FROM {src}
+WHERE {bucket} < {rate}"""
+
+
+def corpus_keep_sql(dialect: str, src: str = "docs_aug") -> str:
+    """Per-doc keep signals for the composed corpus-prep pipeline: the
+    rule-filter verdict (keep_rules) AND the stratified-sample bucket/rate,
+    in one projection over ``src`` — the cluster-keeper flag joins in from
+    the connected-components stage (engine.textops.cluster), completing
+    rule filter -> dedup keeper -> stratified sample.
+
+    Rule set = rule_filter_sql MINUS the sentence-punctuation rule: the
+    synthetic corpus contains no periods, and a composed pipeline whose
+    first stage drops 100% of documents would verify nothing downstream —
+    the remaining rules are non-trivial on this corpus (the word-count
+    band alone drops a few percent)."""
+    words = split_ws(dialect, "text")
+    n_tok = arr_len(dialect, words)
+    stop = " + ".join(_count_occurrences("text", m) for m in ("the", "and", "of"))
+    mean_wl = (
+        f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+    )
+    space_ratio = (
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+        " / CAST(length(text) + 1 AS DOUBLE)"
+    )
+    bucket, rate = _strata_exprs(dialect, None)
+    return f"""
+SELECT doc_id, lang,
+       {n_tok} AS n_words,
+       ({n_tok} BETWEEN 15 AND 100000)
+         AND ({mean_wl} BETWEEN 2.0 AND 12.0)
+         AND ({space_ratio} <= 0.35)
+         AND (({stop}) >= 1) AS keep_rules,
+       {bucket} AS bucket,
+       {rate} AS rate_permille
+FROM {src}"""
 
 
 def vocab_stats_sql(dialect: str, top_k: int = 1000) -> str:

@@ -88,10 +88,12 @@ def near_dup_clusters_df(spark: SparkSession, threshold: float = 0.5) -> DataFra
     return connected_components(nodes, pairs)
 
 
-def near_dup_clusters_sql(dialect: str = "duckdb", threshold: float = 0.5) -> str:
-    """Recursive-CTE oracle: min reachable doc_id over the same pair set."""
-    return f"""
-WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({near_dup_pairs_sql(dialect, threshold)}) _p),
+def clusters_ctes(dialect: str = "duckdb", threshold: float = 0.5) -> str:
+    """Recursive-CTE chain ending in ``labels(doc_id, cluster_id)``: min
+    reachable doc_id over the verified near-dup pair set (transitive
+    closure). Shared by the near_dup_clusters oracle and the composed
+    corpus-prep oracle. Must follow a WITH RECURSIVE keyword."""
+    return f"""pairs AS (SELECT doc_a, doc_b FROM ({near_dup_pairs_sql(dialect, threshold)}) _p),
 docs AS (SELECT doc_id FROM ({(
     f"WITH {docs_aug_cte(dialect)} SELECT doc_id FROM docs_aug"
 )}) _d),
@@ -101,5 +103,53 @@ reach(src, dst) AS (
   SELECT doc_id AS src, doc_id AS dst FROM docs
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)"""
+
+
+def near_dup_clusters_sql(dialect: str = "duckdb", threshold: float = 0.5) -> str:
+    """Recursive-CTE oracle: min reachable doc_id over the same pair set."""
+    return f"""
+WITH RECURSIVE {clusters_ctes(dialect, threshold)}
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM labels"""
+
+
+def corpus_prep_df(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """The end-to-end corpus-prep pipeline an LLM data team actually runs,
+    composed over the docs_aug corpus: rule-based filter (Gopher/C4-style
+    signals) -> near-dup cluster KEEPERS (LSH -> Jaccard -> connected
+    components) -> deterministic stratified sample. One row per surviving
+    doc: (doc_id, lang, cluster_id, n_words, bucket).
+
+    Scale shape: the signal projection is pure codegen over the corpus
+    scan; the cluster labels join is hash-partitioned on doc_id; the sample
+    is a hash filter — nothing driver-sized beyond the components loop's
+    O(1)-byte convergence probes."""
+    from .analysis import corpus_keep_sql
+
+    sig = spark.sql(
+        f"WITH {docs_aug_cte('spark')} {corpus_keep_sql('spark', 'docs_aug')}"
+    )
+    clusters = near_dup_clusters_df(spark, threshold)
+    return (
+        sig.join(clusters, "doc_id")
+        .filter(
+            F.col("keep_rules")
+            & F.col("is_keeper")
+            & (F.col("bucket") < F.col("rate_permille"))
+        )
+        .select("doc_id", "lang", "cluster_id", "n_words", "bucket")
+    )
+
+
+def corpus_prep_sql(dialect: str = "duckdb", threshold: float = 0.5) -> str:
+    """Single-statement oracle for corpus_prep_df: recursive-closure labels
+    joined to the same keep-signal projection, filtered identically."""
+    from .analysis import corpus_keep_sql
+
+    return f"""
+WITH RECURSIVE {clusters_ctes(dialect, threshold)},
+{docs_aug_cte(dialect)},
+ks AS ({corpus_keep_sql(dialect, 'docs_aug')})
+SELECT k.doc_id, k.lang, l.cluster_id, k.n_words, k.bucket
+FROM ks k JOIN labels l ON k.doc_id = l.doc_id
+WHERE k.keep_rules AND l.doc_id = l.cluster_id AND k.bucket < k.rate_permille"""

@@ -84,6 +84,86 @@ SELECT url,
 FROM m"""
 
 
+def _media_hex_expr(nb: str) -> str:
+    """Engine-neutral SQL: hex text of a deterministic, WELL-FORMED media
+    container header per page — even n_bytes get a PNG (8-byte signature +
+    IHDR chunk), odd get a JPEG (SOI + APP0/JFIF + SOF0 frame + EOI).
+    Width/height reuse the fake-decode formulas so every stage of the
+    multimodal story agrees on the same dimensions. Valid on both Spark and
+    DuckDB (concat/lpad/hex(int)/%)."""
+    w = f"(16 + ({nb} * 7) % 1904)"
+    h = f"(16 + ({nb} * 13) % 1064)"
+    png = (
+        "concat('89504E470D0A1A0A', '0000000D49484452', "
+        f"lpad(hex({w}), 8, '0'), lpad(hex({h}), 8, '0'), "
+        "'0806000000', 'AABBCCDD')"
+    )
+    jpeg = (
+        "concat('FFD8FFE000104A46494600010100000100010000', "
+        f"'FFC00011', '08', lpad(hex({h}), 4, '0'), lpad(hex({w}), 4, '0'), "
+        "'03012200021101031101', 'FFD9')"
+    )
+    return f"CASE WHEN {nb} % 2 = 0 THEN {png} ELSE {jpeg} END"
+
+
+def media_fixture_df(pages):
+    """(url, media binary): the synthetic container payloads as a REAL
+    binary column (unhex of the shared hex template) — the stand-in for an
+    image blob column at 100 TB."""
+    nb = "cast(length(html) as bigint)"
+    return pages.selectExpr("url", f"unhex({_media_hex_expr(nb)}) as media")
+
+
+def media_dims_df(pages):
+    """Pure-SQL media header parse: PNG IHDR / JPEG SOF0 width+height
+    decoded from the binary column with JVM built-ins only (hex, substring,
+    conv, position) — no UDF, codegen end-to-end, scale-safe. PNG: width/
+    height are the two big-endian uint32s at IHDR bytes 17-24. JPEG: the
+    SOF0 marker (FFC0) is located in the hex text; height/width are the
+    big-endian uint16s at marker offsets +5/+7. Replaces the stub-adjacent
+    fake decode with a real (if header-only) decoder; real pixel decode
+    remains the real_decode extension point."""
+    m = media_fixture_df(pages)
+    e = m.selectExpr(
+        "url",
+        "media",
+        "upper(hex(media)) as hx",
+        "cast(length(media) as bigint) as hdr_bytes",
+    ).selectExpr(
+        "url",
+        "hx",
+        "hdr_bytes",
+        "substring(hx, 1, 16) = '89504E470D0A1A0A' as is_png",
+        "substring(hx, 1, 4) = 'FFD8' as is_jpeg",
+        "position('FFC0' IN hx) as sof",
+    )
+    return e.selectExpr(
+        "url",
+        "CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg' ELSE 'unknown' END as media_kind",
+        "cast(CASE WHEN is_png THEN conv(substring(hx, 33, 8), 16, 10) "
+        "          WHEN is_jpeg AND sof > 0 THEN conv(substring(hx, sof + 14, 4), 16, 10) END as bigint) as width",
+        "cast(CASE WHEN is_png THEN conv(substring(hx, 41, 8), 16, 10) "
+        "          WHEN is_jpeg AND sof > 0 THEN conv(substring(hx, sof + 10, 4), 16, 10) END as bigint) as height",
+        "hdr_bytes",
+    )
+
+
+def media_dims_sql(pages_cte: str) -> str:
+    """DuckDB twin of media_dims_df: the oracle derives the expected
+    dimensions CLOSED-FORM (not by parsing), so a hash match proves the
+    Spark-side binary header parse recovers exactly what the container
+    encodes. hdr_bytes: PNG header = 33 bytes, JPEG = 41."""
+    return f"""
+WITH {pages_cte},
+m AS (SELECT url, CAST(strlen(text) + 26 AS BIGINT) AS n_bytes FROM pages)
+SELECT url,
+       CASE WHEN n_bytes % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_kind,
+       CAST(16 + (n_bytes * 7) % 1904 AS BIGINT) AS width,
+       CAST(16 + (n_bytes * 13) % 1064 AS BIGINT) AS height,
+       CAST(CASE WHEN n_bytes % 2 = 0 THEN 33 ELSE 41 END AS BIGINT) AS hdr_bytes
+FROM m"""
+
+
 def frame_sample_df(pages, frame_len: int = 16):
     """One row per sampled frame: (url, frame_idx, frame binary).
 
