@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -61,6 +62,141 @@ def split_tile_layers(data: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
+def _layer_to_partial(msg: bytes) -> dict | None:
+    """Wire-parse a CANONICAL single-pass layer message into the partial-
+    array dict fastmerge.merge_point_partials consumes — a framing walk
+    only: geometry bytes and value entries stay opaque, no per-feature
+    decode/re-encode. Canonical form = this engine's own encoders: fields
+    in order (name, features..., keys..., values..., extent, version);
+    every feature (id, [tags], type, geometry) with tag keys exactly
+    0..t-1 in order. Returns None for anything else (id-less features,
+    reordered fields, foreign encoders) — the caller falls back to the
+    generic decode/re-encode merge."""
+    r = pbwire.Reader(msg)
+    name = None
+    extent = 4096
+    framed: list[bytes] = []
+    fids: list[int] = []
+    glens: list[int] = []
+    feat_lens: list[int] = []
+    vcodes: list[list[int]] = []
+    keys_parts: list[bytes] = []
+    dict_parts: list[bytes] = []
+    dict_lens: list[int] = []
+    try:
+        while not r.at_end():
+            tag_pos = r.pos
+            field, wt = r.read_tag()
+            if field == 1 and wt == WT_LEN:
+                name = r.read_bytes().decode("utf-8")
+            elif field == 2 and wt == WT_LEN:
+                s, e = r.read_len()
+                fr = pbwire.Reader(msg, s, e)
+                fld, w2 = fr.read_tag()
+                if fld != 1 or w2 != pbwire.WT_VARINT:
+                    return None  # id-less / non-canonical feature
+                fid = fr.read_varint()
+                fld, w2 = fr.read_tag()
+                codes: list[int] = []
+                if fld == 2 and w2 == WT_LEN:
+                    ts, te = fr.read_len()
+                    tr = pbwire.Reader(msg, ts, te)
+                    k = 0
+                    while not tr.at_end():
+                        if tr.read_varint() != k:
+                            return None  # keys not 0..t-1 in order
+                        codes.append(tr.read_varint())
+                        k += 1
+                    fld, w2 = fr.read_tag()
+                if fld != 3 or w2 != pbwire.WT_VARINT:
+                    return None
+                gt = fr.read_varint()
+                if gt > 127:
+                    return None  # fastmerge tail assumes 1-byte type value
+                fld, w2 = fr.read_tag()
+                if fld != 4 or w2 != WT_LEN:
+                    return None
+                gs, ge = fr.read_len()
+                if not fr.at_end():
+                    return None  # trailing fields after geometry
+                framed.append(msg[tag_pos:e])
+                feat_lens.append(e - tag_pos)
+                fids.append(fid)
+                glens.append(ge - gs)
+                vcodes.append(codes)
+            elif field == 3 and wt == WT_LEN:
+                _, e = r.read_len()
+                keys_parts.append(msg[tag_pos:e])
+            elif field == 4 and wt == WT_LEN:
+                _, e = r.read_len()
+                dict_parts.append(msg[tag_pos:e])
+                dict_lens.append(e - tag_pos)
+            elif field == 5 and wt == pbwire.WT_VARINT:
+                extent = r.read_varint()
+            elif field == 15 and wt == pbwire.WT_VARINT:
+                r.read_varint()
+            else:
+                return None
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not framed:
+        return None
+    t = len(vcodes[0])
+    if any(len(c) != t for c in vcodes):
+        return None
+    vcode = (
+        np.asarray(vcodes, dtype=np.int64)
+        if t
+        else np.zeros(len(framed), dtype=np.int64)
+    )
+    return {
+        "name": name,
+        "extent": extent,
+        "keys_blob": b"".join(keys_parts),
+        "partial": {
+            "fids": np.asarray(fids, dtype=np.int64),
+            "block": np.frombuffer(b"".join(framed), dtype=np.uint8),
+            "feat_len": np.asarray(feat_lens, dtype=np.int64),
+            "glen": np.asarray(glens, dtype=np.int64),
+            "vcode": vcode,
+            "dict_blob": np.frombuffer(b"".join(dict_parts), dtype=np.uint8),
+            "dict_lens": np.asarray(dict_lens, dtype=np.int64),
+        },
+    }
+
+
+def _merge_layer_fast(name: str, msgs: list[bytes]) -> bytes | None:
+    """Same-name merge on the fastmerge path: parse each assembled layer
+    back to partial arrays (framing walk, no geometry/value decode) and
+    re-frame with whole-array passes. None -> caller uses the generic
+    decoder path (foreign/non-canonical layers, mismatched keys)."""
+    from engine.mvtcodec import fastmerge
+
+    parsed = [_layer_to_partial(m) for m in msgs]
+    if any(p is None for p in parsed):
+        return None
+    first = parsed[0]
+    if any(
+        p["keys_blob"] != first["keys_blob"]
+        or p["extent"] != first["extent"]
+        or p["name"] != name
+        for p in parsed
+    ):
+        return None
+    arity = {
+        p["partial"]["vcode"].shape[1] if p["partial"]["vcode"].ndim == 2 else 0
+        for p in parsed
+    }
+    if len(arity) != 1:
+        return None  # mixed tag arity across partials
+    return fastmerge.merge_point_partials(
+        [p["partial"] for p in parsed],
+        name,
+        first["keys_blob"],
+        first["extent"],
+    )
+
+
 def _merge_layer(name: str, msgs: list[bytes]) -> bytes:
     """Merge same-name partial layers: features re-framed in canonical
     (id) order; geometry words pass through untouched."""
@@ -83,17 +219,27 @@ def _merge_layer(name: str, msgs: list[bytes]) -> bytes:
 
 
 def merge_tile_blobs(blobs) -> bytes:
-    """Merge partial tiles for ONE (z,x,y) into a single canonical tile."""
+    """Merge partial tiles for ONE (z,x,y) into a single canonical tile.
+
+    Same-name merges go through the fastmerge whole-array re-framer
+    (_merge_layer_fast) whenever the partials are this engine's canonical
+    layers; the per-feature decode/re-encode path (_merge_layer) remains
+    only as the fallback for foreign or non-canonical input."""
     parts: dict[str, list[bytes]] = {}
     for data in blobs:
         for name, msg in split_tile_layers(data):
             parts.setdefault(name, []).append(msg)
-    return b"".join(
-        pbwire.len_delimited(
-            3, parts[n][0] if len(parts[n]) == 1 else _merge_layer(n, parts[n])
-        )
-        for n in sorted(parts)
-    )
+    out = []
+    for n in sorted(parts):
+        msgs = parts[n]
+        if len(msgs) == 1:
+            payload = msgs[0]
+        else:
+            payload = _merge_layer_fast(n, msgs)
+            if payload is None:
+                payload = _merge_layer(n, msgs)
+        out.append(pbwire.len_delimited(3, payload))
+    return b"".join(out)
 
 
 def merge_tiles(partials: DataFrame) -> DataFrame:

@@ -111,3 +111,56 @@ def test_combined_tiles_decode(spark):
     pdf = fn(spark, SF_DIR).toPandas()
     assert (pdf["n_layers"] >= 1).all() and (pdf["n_layers"] <= 3).all()
     assert (pdf["n_layers"] >= 2).any()  # some tile carries both streams
+
+
+def test_same_name_merge_uses_fastmerge_path(monkeypatch):
+    """Engine-canonical same-name partials must merge through the
+    whole-array re-framer — the per-feature decode/re-encode fallback
+    (_merge_layer) must not run."""
+    feats = [_feat(i, (i, i + 1), f"t{i % 3}") for i in range(10)]
+    want = tilemod.encode_tile({"pages": {"extent": 4096, "features": feats}})
+    p1 = tilemod.encode_tile(
+        {"pages": {"extent": 4096, "features": [feats[i] for i in (0, 3, 5, 9)]}}
+    )
+    p2 = tilemod.encode_tile(
+        {"pages": {"extent": 4096, "features": [feats[i] for i in (1, 2, 4, 6, 7, 8)]}}
+    )
+
+    def boom(name, msgs):
+        raise AssertionError("per-feature fallback reached for canonical input")
+
+    monkeypatch.setattr(tilemerge, "_merge_layer", boom)
+    assert tilemerge.merge_tile_blobs([p1, p2]) == want
+
+
+def test_same_name_merge_fast_equals_legacy():
+    feats = [_feat(i, (2 * i, i), f"v{i % 4}") for i in range(25)]
+    p1 = tilemod.encode_tile(
+        {"l": {"extent": 4096, "features": feats[::2]}}
+    )
+    p2 = tilemod.encode_tile(
+        {"l": {"extent": 4096, "features": feats[1::2]}}
+    )
+    msgs = [m for _, m in tilemerge.split_tile_layers(p1) + tilemerge.split_tile_layers(p2)]
+    fast = tilemerge._merge_layer_fast("l", msgs)
+    assert fast is not None
+    assert fast == tilemerge._merge_layer("l", msgs)
+
+
+def test_idless_features_fall_back_to_legacy():
+    """Features without ids are outside fastmerge's canon — the generic
+    decode/re-encode merge must still handle them."""
+    fa = {
+        "id": None,
+        "geom_type": geomstream.GEOM_POINT,
+        "geometry": geomstream.encode_point((1, 2)),
+        "tags": [("k", ("string", "a"))],
+    }
+    fb = dict(fa, tags=[("k", ("string", "b"))])
+    p1 = tilemod.encode_tile({"l": {"extent": 4096, "features": [fa]}})
+    p2 = tilemod.encode_tile({"l": {"extent": 4096, "features": [fb]}})
+    msgs = [m for _, m in tilemerge.split_tile_layers(p1) + tilemerge.split_tile_layers(p2)]
+    assert tilemerge._layer_to_partial(msgs[0]) is None
+    merged = tilemerge.merge_tile_blobs([p1, p2])
+    layers = tilemod.decode_tile(merged)
+    assert len(layers["l"]["features"]) == 2
