@@ -475,9 +475,16 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
         "16 MB numpy buffer's first pass takes 1.79 s in a Spark worker, the",
         "next passes 3 ms; a pure-CPU 32-process microbench scales 22x while",
         "any fresh-page-heavy job gets SLOWER beyond ~8 threads regardless of",
-        "partitioning). Mitigations shipped in engine.pipeline.session",
-        "(glibc arena retention + Arrow system pool, 4-9x on worker-side",
-        "allocation churn) cannot remove the host-side serialization, so:",
+        "partitioning). BENCH/encode_probe.py pins the pyramid ENCODE stage's",
+        "former 8->32 regression on exactly this: the same kernel on the same",
+        "inputs scales to 32 procs WARM (5.29s@2 -> 1.46s@8 -> 0.61s@32) but",
+        "regresses COLD (2.52s@8 -> 3.19s@32, every buffer first-touch);",
+        "capping the per-batch working set so later batches reuse the first",
+        "batch's faulted arena makes even the cold pass scale (1.66s@8 ->",
+        "0.97s@32) — shipped as the 16k-row Arrow batch default in",
+        "engine.pipeline.session. Mitigations there (glibc arena retention +",
+        "Arrow system pool, 4-9x on worker-side allocation churn) cannot",
+        "remove the host-side serialization itself, so:",
         "",
         "- `geotag_hash_x40` (CPU-dominant, codegen, no Python) shows the",
         "  ENGINE's scaling when compute dominates — this is the number that",

@@ -43,7 +43,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16k-row Arrow batches: the encode stage's working set then fits
+        # the retained glibc arena of the FIRST batch, so later batches
+        # re-use already-faulted pages instead of first-touching fresh ones
+        # (BENCH/encode_probe.py: chunked cold encode 1.66s@8 -> 0.97s@32
+        # vs unchunked 2.52 -> 3.19 REGRESSING; Spark A/B at both core
+        # counts confirms ~30-40% faster encode stage vs 64k batches).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
