@@ -60,8 +60,10 @@ def _cases():
         ("events_asof", Q.q_events_asof),
         ("near_dup_jaccard", Q.q_near_dup),
         ("near_dup_clusters", Q.q_near_dup_clusters),
+        ("corpus_prep", Q.q_corpus_prep),
         ("ann_topk_maponly", Q.q_ann_maponly),
         ("media_metadata", Q.q_media_metadata),
+        ("media_dims", Q.q_media_dims),
         # big-dimension join-strategy cases LAST: they bloat the JVM heap
         # and page cache, inflating whatever runs after them in-session
         ("pip_join_50k_broadcast", lambda s, d: _pip_50k(s, d, False)),
@@ -541,7 +543,12 @@ def plan_report() -> None:
         "(z, x-expr, y-expr) + sortWithinPartitions feeding the vectorized "
         "encode mapInPandas; only (z,u,v,fid,lang) ride the shuffle (compact "
         "encoder) — derived columns reconstruct post-shuffle; feature_id "
-        "sha2 computed BEFORE the x15 zoom explode.",
+        "sha2 computed BEFORE the x15 zoom explode. Arrow batches are 16k "
+        "rows so the encode workers' per-batch working set stays inside the "
+        "first batch's already-faulted arena (BENCH/encode_probe.py).",
+        "media_dims": "pure-codegen media header parse: the binary column, "
+        "hex/substring/conv/position all inside one WholeStageCodegen span "
+        "over the scan — no UDF, no shuffle, column-pruned read.",
         "mvt_combined_tiles": "two encode stages (salted point partials + "
         "polygon tiles) keyed straight into ONE merge shuffle on (z,x,y); "
         "the merge re-frames point partials with whole-array passes and "

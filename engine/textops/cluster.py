@@ -14,8 +14,10 @@ aggregate, both hash-partitioned on doc_id, nothing driver-sized. The
 per-round convergence probe aggregates a single monotone checksum
 (sum of labels: strictly decreasing until fixpoint), so the driver action
 moves O(1) bytes. At 10^12 docs the same loop runs with the pair table
-disk-backed; the classic large-star/small-star variant halves the round
-count but shares this shape.
+disk-backed. For DEEP components (chained near-dups) where diameter-many
+rounds would hurt, connected_components_star implements the classic
+alternating large-star/small-star contraction (O(log^2 n) rounds, same
+output contract).
 
 Keeper policy: keep the smallest doc_id per cluster (is_keeper), the
 deterministic stand-in for "keep the oldest / highest-quality copy".
@@ -41,7 +43,13 @@ def connected_components(
         .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))
         .persist()
     )
-    labels = nodes.selectExpr("doc_id", "doc_id as label").persist()
+    # localCheckpoint per round truncates lineage: an iterative DataFrame
+    # referenced more than once per round otherwise grows a plan DAG whose
+    # un-memoized Catalyst traversals go exponential in the round count
+    # (persist() caches execution but not analysis). On a real cluster use
+    # a reliable checkpoint dir for fault tolerance; the loop shape is
+    # identical.
+    labels = nodes.selectExpr("doc_id", "doc_id as label").localCheckpoint()
     prev = None
     converged = False
     for _ in range(max_iters):
@@ -52,10 +60,9 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         sig = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if sig == prev:  # sum(labels) strictly decreases until fixpoint
             converged = True
@@ -70,6 +77,91 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters"
         )
+    return labels.selectExpr(
+        "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014): same output contract as connected_components
+    ((doc_id, cluster_id, is_keeper), cluster_id = min reachable doc_id),
+    but the edge set contracts toward per-component stars in O(log^2 n)
+    rounds instead of O(component diameter) — the variant to use when
+    components can be DEEP (chained near-dups: A~B~C~...~Z), where
+    hash-min label propagation needs diameter rounds.
+
+    Per round: each op is one distinct-neighbor expansion, one min
+    aggregate, one equi-join — all hash-partitioned on the node id,
+    nothing driver-sized. Convergence probe: (edge count, sum of edge
+    hashes) — O(1) bytes to the driver per round.
+
+      large-star(u): m = min(N(u) + {u}); emit (v, m) for v in N(u), v > u
+      small-star(u): m = min(N(u) + {u}); emit (v, m) for v in N(u),
+                     v <= u, plus (u, m)
+
+    At fixpoint every non-root points directly at its component minimum.
+    """
+
+    def nbrs_of(edges):
+        return (
+            edges.selectExpr("src as u", "dst as v")
+            .unionByName(edges.selectExpr("dst as u", "src as v"))
+            .distinct()
+        )
+
+    def star(edges, large: bool):
+        nbrs = nbrs_of(edges)
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mv"))
+        mins = mins.withColumn("m", F.least("_mv", "u")).select("u", "m")
+        j = nbrs.join(mins, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).selectExpr(
+                "v as src", "m as dst"
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).selectExpr(
+                "v as src", "m as dst"
+            ).unionByName(mins.selectExpr("u as src", "m as dst"))
+        return out.filter(F.col("src") != F.col("dst")).distinct()
+
+    edges = pairs.selectExpr("doc_a as src", "doc_b as dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # localCheckpoint: see connected_components — each round references
+        # `edges` 4x through the two star ops, so lineage MUST be truncated
+        # or Catalyst's plan walks go exponential in rounds
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint()
+        # order-independent O(1)-byte signature; bit_xor cannot overflow
+        # (sum of 64-bit hashes trips ANSI long-overflow)
+        row = new_edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        edges = new_edges
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds"
+        )
+    # fixpoint edges are stars (src -> component min); roots and isolated
+    # nodes label themselves
+    stars = edges.groupBy("src").agg(F.min("dst").alias("_label"))
+    labels = nodes.join(
+        stars.selectExpr("src as doc_id", "_label"), "doc_id", "left"
+    ).selectExpr("doc_id", "coalesce(_label, doc_id) as label")
+    edges.unpersist()
     return labels.selectExpr(
         "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
     )

@@ -95,3 +95,41 @@ def test_connected_components_multihop(spark):
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
         7: (7, True), 8: (7, False), 9: (9, True),
     }
+
+
+def test_components_star_matches_hashmin(spark):
+    """Alternating large/small-star contraction must agree with hash-min
+    label propagation on a mixed graph (chains, a cycle, singletons)."""
+    from engine.textops.cluster import connected_components, connected_components_star
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (9, 7), (11, 15), (15, 12),
+         (17, 18)],
+        "doc_a long, doc_b long",
+    )
+    want = sorted(tuple(r) for r in connected_components(nodes, pairs).collect())
+    got = sorted(tuple(r) for r in connected_components_star(nodes, pairs).collect())
+    assert got == want
+
+
+def test_components_star_deep_chain(spark):
+    """A 60-node path has diameter 59: hash-min at max_iters=25 must fail
+    loudly, the star contraction must converge in O(log) rounds and label
+    the whole chain with its minimum."""
+    import pytest as _pytest
+
+    from engine.textops.cluster import connected_components, connected_components_star
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iters=25)
+    got = connected_components_star(nodes, pairs, max_rounds=12).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert sum(r["is_keeper"] for r in got) == 1
