@@ -109,17 +109,32 @@ def _pyramid_shuffled_sorted(spark, sf_dir):
     return parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
 
 
+_CODE_PATHS = ("engine", "bench.py", "__spark_entry__.py")
+
+
 def _code_stamp() -> str:
-    """Git identity of the code being measured. Runs from a dirty tree are
-    stamped '-dirty' and never merged across invocations (two dirty trees at
-    the same commit can differ), so stale minima cannot mask regressions."""
+    """Content hash of the CODE being measured (engine + bench + entry).
+    Content-addressed rather than commit-addressed so doc-only commits
+    (BASELINE.md itself, SURVEY, README) do not invalidate accumulated
+    raws; any change to measured code — committed or not — changes the
+    stamp, and uncommitted code edits are additionally marked '-dirty' so
+    their timings never become sticky minima attributed to clean code."""
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        r = subprocess.run(
-            ["git", "describe", "--always", "--dirty"],
-            capture_output=True, text=True, timeout=10,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        return r.stdout.strip() or "unknown"
+        ls = subprocess.run(
+            ["git", "ls-files", "-s", "--", *_CODE_PATHS],
+            capture_output=True, text=True, timeout=10, cwd=here,
+        ).stdout
+        if not ls:
+            return "unknown"
+        stamp = hashlib.sha256(ls.encode()).hexdigest()[:12]
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", *_CODE_PATHS],
+            capture_output=True, text=True, timeout=10, cwd=here,
+        ).stdout.strip()
+        return stamp + ("-dirty" if dirty else "")
     except OSError:
         return "unknown"
 
