@@ -41,6 +41,10 @@ SCALING_CASES = (
 # prefixes of the pyramid plan, so per-stage cost = successive differences
 STAGE_CASES = ("pyramid_scan_geotag", "pyramid_shuffled_sorted")
 
+# cases whose computation happens eagerly at DataFrame-build time (iterative
+# loops with per-round checkpoints): rebuilt inside each timed pass
+REBUILD_CASES = {"near_dup_clusters", "corpus_prep"}
+
 
 def _cases():
     from engine.pipeline import queries as Q
@@ -164,7 +168,13 @@ def run_once(case_filter=None) -> dict:
     for name, builder in cases:
         if case_filter and name not in case_filter:
             continue
-        df = builder(spark, SF_DIR)
+        # Iterative queries (components loop, corpus_prep) do their work
+        # EAGERLY while the DataFrame is built (per-round localCheckpoint +
+        # convergence probes), so for them each timed pass must rebuild —
+        # timing only the final write would report a near-zero scan of
+        # already-checkpointed results.
+        rebuild = name in REBUILD_CASES
+        df = None if rebuild else builder(spark, SF_DIR)
         # noop sink: full materialization of every column (groupBy().count()
         # would let Catalyst prune the computed columns away).
         # best-of-2: the sandbox shows bursty 2-4x background variance and
@@ -173,6 +183,8 @@ def run_once(case_filter=None) -> dict:
         dt = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
+            if rebuild:
+                df = builder(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = min(dt, time.perf_counter() - t0)
         results[name] = round(dt, 3)
