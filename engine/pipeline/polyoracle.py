@@ -178,14 +178,14 @@ dverts AS (SELECT DISTINCT poly_id, z, x, y, qx, qy FROM ordv),
 vstats AS (
   SELECT poly_id, z, x, y,
          COUNT(*) AS n_pts,
-         SUM(qx) AS sum_qx, SUM(qy) AS sum_qy,
+         CAST(SUM(qx) AS BIGINT) AS sum_qx, CAST(SUM(qy) AS BIGINT) AS sum_qy,
          MIN(qx) AS min_qx, MAX(qx) AS max_qx,
          MIN(qy) AS min_qy, MAX(qy) AS max_qy
   FROM dverts GROUP BY 1, 2, 3, 4)
-SELECT a.z, a.x, a.y, a.poly_id AS feature_id,
+SELECT a.z, a.x, a.y, CAST(a.poly_id AS BIGINT) AS feature_id,
        v.n_pts, v.sum_qx, v.sum_qy,
        v.min_qx, v.max_qx, v.min_qy, v.max_qy,
-       abs(a.area2) AS area2_abs
+       CAST(abs(a.area2) AS BIGINT) AS area2_abs
 FROM area a JOIN vstats v
   ON a.poly_id = v.poly_id AND a.z = v.z AND a.x = v.x AND a.y = v.y
 WHERE a.area2 != 0"""

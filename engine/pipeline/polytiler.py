@@ -464,6 +464,17 @@ def decode_polygon_coords(tiles: DataFrame, layer: str = "polygons") -> DataFram
                 for f in layers[layer]["features"]:
                     words = np.asarray(f["geometry"], dtype=np.uint32)
                     _, polys = geomstream.decode_polygons(words, flip_y=True)
+                    if not polys:
+                        # degenerate/corrupt feature: emit a sentinel row so
+                        # the verify reports an oracle diff for THIS feature
+                        # instead of the whole job dying on IndexError
+                        rows["z"].append(int(zt))
+                        rows["x"].append(int(xt))
+                        rows["y"].append(int(yt))
+                        rows["feature_id"].append(int(f["id"]))
+                        for c in cols[4:]:
+                            rows[c].append(-1)
+                        continue
                     if isinstance(polys[0], list):  # MultiPolygon nesting
                         ext = polys[0][0]
                     else:  # Polygon: [ext, holes...]

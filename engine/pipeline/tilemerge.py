@@ -149,6 +149,12 @@ def _layer_to_partial(msg: bytes) -> dict | None:
         if t
         else np.zeros(len(framed), dtype=np.int64)
     )
+    if t and vcode.size and int(vcode.max()) >= len(dict_lens):
+        # parseable but inconsistent: a tag value code past the value-dict
+        # entry count would index out of bounds inside fastmerge's
+        # whole-array re-coding (ecode[codes]); hand it to the generic
+        # decode/re-encode merge, which reports the real error
+        return None
     return {
         "name": name,
         "extent": extent,

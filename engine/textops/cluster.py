@@ -33,11 +33,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .sqlgen import docs_aug_cte, near_dup_pairs_sql
 
 
-def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_iters: int = 25
-) -> DataFrame:
-    """(doc_id) nodes + (doc_a, doc_b) undirected pairs ->
-    (doc_id, cluster_id, is_keeper); cluster_id = min doc_id reachable."""
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Proactively drop a SUPERSEDED localCheckpoint's executor blocks.
+
+    ``DataFrame.unpersist()`` only touches cache-manager entries, never the
+    checkpoint RDD's MEMORY_AND_DISK blocks, so an iterative loop that
+    checkpoints per round grows block-manager storage linearly until the
+    ContextCleaner happens to GC the old plans. The checkpointed DataFrame's
+    LogicalRDD plan node holds the backing RDD directly; unpersisting THAT
+    frees exactly this DataFrame's blocks (verified against
+    getRDDStorageInfo — sibling checkpoints stay intact). DESTRUCTIVE:
+    recompute is impossible afterwards, so only call once nothing will read
+    the DataFrame again. Best-effort: silently a no-op on backends without
+    py4j plan access (e.g. Spark Connect)."""
+    try:
+        df._jdf.logicalPlan().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _hash_min_labels(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int
+) -> tuple[DataFrame, bool]:
+    """Hash-min label propagation core: returns ``(labels, converged)``
+    where labels = (doc_id, label) with label = min doc_id reachable IF
+    converged; un-converged labels are partial and must not be used."""
     edges = (
         pairs.selectExpr("doc_a as src", "doc_b as dst")
         .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))
@@ -63,12 +83,25 @@ def connected_components(
             .localCheckpoint()
         )
         sig = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        # new_labels is materialized (eager checkpoint + the probe), so the
+        # superseded round's blocks can be dropped now instead of lingering
+        # until ContextCleaner GC
+        _free_local_checkpoint(labels)
         labels = new_labels
         if sig == prev:  # sum(labels) strictly decreases until fixpoint
             converged = True
             break
         prev = sig
     edges.unpersist()
+    return labels, converged
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """(doc_id) nodes + (doc_a, doc_b) undirected pairs ->
+    (doc_id, cluster_id, is_keeper); cluster_id = min doc_id reachable."""
+    labels, converged = _hash_min_labels(nodes, pairs, max_iters)
     if not converged:
         # labels short of fixpoint are WRONG cluster ids (a component with
         # diameter > max_iters keeps multiple labels) — fail loudly rather
@@ -145,6 +178,9 @@ def connected_components_star(
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).collect()[0]
         sig = (row["n"], row["h"])
+        # the probe materialized new_edges; drop the superseded round's
+        # checkpoint blocks (see _free_local_checkpoint)
+        _free_local_checkpoint(edges)
         edges = new_edges
         if sig == prev_sig:
             converged = True
@@ -161,23 +197,57 @@ def connected_components_star(
     labels = nodes.join(
         stars.selectExpr("src as doc_id", "_label"), "doc_id", "left"
     ).selectExpr("doc_id", "coalesce(_label, doc_id) as label")
-    edges.unpersist()
+    # the returned (lazy) labels plan reads the final star edges' checkpoint
+    # blocks, so they must NOT be freed here; ContextCleaner reclaims them
+    # once the consumer materializes and drops the plan
     return labels.selectExpr(
         "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
     )
 
 
+def resolve_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    hashmin_budget: int = 8,
+    star_rounds: int = 50,
+) -> DataFrame:
+    """Depth-aware connected-components chooser — the PRODUCTION entry.
+
+    Near-dup graphs are almost always shallow (a doc plus its rewrites:
+    diameter 1-3), where hash-min label propagation converges in a handful
+    of rounds and each round is cheaper than a star contraction round (one
+    join + one min-agg vs distinct-expansion + min-agg + join x2). So: run
+    hash-min under a fixed round budget; if the graph turns out DEEP
+    (diameter > budget — chained near-dups A~B~C~...~Z), discard the partial
+    labels and rerun with the large/small-star contraction, which finishes
+    in O(log^2 n) rounds regardless of diameter. The fallback costs the
+    budget's wasted rounds once, instead of the unbounded (or raising)
+    diameter-many rounds the hash-min-only path had.
+
+    Both variants share the exact output contract: (doc_id, cluster_id,
+    is_keeper) with cluster_id = min reachable doc_id."""
+    labels, converged = _hash_min_labels(nodes, pairs, hashmin_budget)
+    if converged:
+        return labels.selectExpr(
+            "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
+        )
+    # partial labels are wrong cluster ids — free them and switch algorithms
+    _free_local_checkpoint(labels)
+    return connected_components_star(nodes, pairs, max_rounds=star_rounds)
+
+
 def near_dup_clusters_df(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
     """Full near-dup dedup resolution over the docs_aug corpus: LSH ->
-    Jaccard-verified pairs -> connected components -> keeper flag. Expects
-    the ``documents`` temp view to be registered."""
+    Jaccard-verified pairs -> connected components (depth-aware chooser:
+    hash-min for shallow graphs, star contraction for deep chains) ->
+    keeper flag. Expects the ``documents`` temp view to be registered."""
     pairs = spark.sql(near_dup_pairs_sql("spark", threshold)).select(
         "doc_a", "doc_b"
     )
     nodes = spark.sql(
         f"WITH {docs_aug_cte('spark')} SELECT doc_id FROM docs_aug"
     )
-    return connected_components(nodes, pairs)
+    return resolve_components(nodes, pairs)
 
 
 def clusters_ctes(dialect: str = "duckdb", threshold: float = 0.5) -> str:

@@ -133,3 +133,35 @@ def test_components_star_deep_chain(spark):
     got = connected_components_star(nodes, pairs, max_rounds=12).collect()
     assert all(r["cluster_id"] == 0 for r in got)
     assert sum(r["is_keeper"] for r in got) == 1
+
+
+def test_resolve_components_chooser(spark):
+    """The production chooser: a shallow graph resolves inside the hash-min
+    budget; a deep chain (diameter >> budget) silently falls back to star
+    contraction and still converges to the same contract — the path that
+    previously raised on the registry pipeline."""
+    from engine.textops.cluster import resolve_components
+
+    # deep: 60-node path, budget 4 -> star fallback must label everything 0
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = resolve_components(nodes, pairs, hashmin_budget=4).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert sum(r["is_keeper"] for r in got) == 1
+
+    # shallow: same graph as the multihop test stays on the hash-min path
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 8, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in resolve_components(nodes, pairs, hashmin_budget=8).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        7: (7, True), 8: (7, False), 9: (9, True),
+    }
