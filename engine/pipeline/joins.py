@@ -296,24 +296,43 @@ def pip_join_partitioned(
         )
         .select("url", "lat", "lon", "poly_id", "_salt")
     )
+    skew_ids = None
     if salt_edges is None:
-        if max_edges_per_poly is None:
-            max_edges_per_poly = (
-                edges.groupBy("poly_id")
+        if max_edges_per_poly is not None:
+            salt_edges = max_edges_per_poly >= edge_salt_threshold
+        else:
+            # No stats passed: ONE eager aggregate job at DataFrame-
+            # construction time (callers wanting full laziness pass
+            # max_edges_per_poly from table stats). Collecting the skewed
+            # ids directly — bounded by n_edges/threshold polygons, each
+            # holding >= threshold edges — gives both the detection verdict
+            # and the skew list, so the per-poly aggregate runs exactly once.
+            skew_ids = [
+                r["poly_id"]
+                for r in edges.groupBy("poly_id")
                 .agg(F.count("*").alias("_ne"))
-                .agg(F.max("_ne"))
-                .collect()[0][0]
-            ) or 0
-        salt_edges = max_edges_per_poly >= edge_salt_threshold
+                .filter(F.col("_ne") >= edge_salt_threshold)
+                .select("poly_id")
+                .collect()
+            ]
+            salt_edges = bool(skew_ids)
     if salt_edges:
         # selective salting: the skewed-poly list is tiny by construction
         # (mega-polygons), so it broadcasts to tag both join sides
-        skewed = (
-            edges.groupBy("poly_id")
-            .agg(F.count("*").alias("_ne"))
-            .filter(F.col("_ne") >= edge_salt_threshold)
-            .select("poly_id", F.lit(True).alias("_skew"))
-        )
+        if skew_ids is not None:
+            from pyspark.sql.types import StructType
+
+            skewed = edges.sparkSession.createDataFrame(
+                [(p,) for p in skew_ids],
+                StructType([edges.schema["poly_id"]]),
+            ).select("poly_id", F.lit(True).alias("_skew"))
+        else:
+            skewed = (
+                edges.groupBy("poly_id")
+                .agg(F.count("*").alias("_ne"))
+                .filter(F.col("_ne") >= edge_salt_threshold)
+                .select("poly_id", F.lit(True).alias("_skew"))
+            )
         edges_s = (
             edges.join(F.broadcast(skewed), "poly_id", "left")
             .withColumn(
@@ -361,7 +380,10 @@ def pip_join_auto(
     ``n_edges`` / ``max_edges_per_poly`` are polygon-side stats — at real
     scale they come from table metadata (Iceberg snapshot stats + a
     partition-level max); a count() on the dimension table is the fallback
-    (one cheap metadata-ish job, never on the fact side). The candidate
+    (one cheap metadata-ish job, never on the fact side). When
+    ``max_edges_per_poly`` is omitted on the partitioned path, salt
+    auto-detection additionally runs one eager per-poly aggregate at
+    construction time (see pip_join_partitioned). The candidate
     grid width derives from n_edges (pip_grid_deg) so the per-cell fanout
     stays bounded in exactly the large-dimension regime the partitioned
     plan targets."""
