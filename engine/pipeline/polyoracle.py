@@ -77,21 +77,33 @@ pedges AS (
 lbt AS (
   SELECT poly_id, z, x, y, px1, py1,
          px2 - px1 AS dx, py2 - py1 AS dy,
-         greatest(0.0,
-           CASE WHEN px2 - px1 != 0 THEN least(({LO} - px1) / (px2 - px1), ({HI} - px1) / (px2 - px1)) ELSE 0.0 END,
-           CASE WHEN py2 - py1 != 0 THEN least(({LO} - py1) / (py2 - py1), ({HI} - py1) / (py2 - py1)) ELSE 0.0 END) AS t0,
-         least(1.0,
-           CASE WHEN px2 - px1 != 0 THEN greatest(({LO} - px1) / (px2 - px1), ({HI} - px1) / (px2 - px1)) ELSE 1.0 END,
-           CASE WHEN py2 - py1 != 0 THEN greatest(({LO} - py1) / (py2 - py1), ({HI} - py1) / (py2 - py1)) ELSE 1.0 END) AS t1
+         CASE WHEN px2 - px1 != 0 THEN least(({LO} - px1) / (px2 - px1), ({HI} - px1) / (px2 - px1)) END AS tminx,
+         CASE WHEN px2 - px1 != 0 THEN greatest(({LO} - px1) / (px2 - px1), ({HI} - px1) / (px2 - px1)) END AS tmaxx,
+         CASE WHEN py2 - py1 != 0 THEN least(({LO} - py1) / (py2 - py1), ({HI} - py1) / (py2 - py1)) END AS tminy,
+         CASE WHEN py2 - py1 != 0 THEN greatest(({LO} - py1) / (py2 - py1), ({HI} - py1) / (py2 - py1)) END AS tmaxy
   FROM pedges),
-outline AS (
-  SELECT DISTINCT poly_id, z, x, y
-  FROM lbt
+lbp AS (
+  SELECT *, greatest(0.0, coalesce(tminx, 0.0), coalesce(tminy, 0.0)) AS t0,
+            least(1.0, coalesce(tmaxx, 1.0), coalesce(tmaxy, 1.0)) AS t1
+  FROM lbt),
+lbv AS (
+  -- visible clipped segments with SNAPPED endpoints: a binding parametric
+  -- clamp puts the endpoint exactly on that axis's boundary (the encoder
+  -- snaps identically — clipbatch.clip_segments), so trunc is stable there
+  SELECT poly_id, z, x, y,
+         CASE WHEN dx != 0 AND t0 > 0 AND t0 = tminx THEN (CASE WHEN dx > 0 THEN {LO} ELSE {HI} END) ELSE px1 + t0 * dx END AS ax,
+         CASE WHEN dy != 0 AND t0 > 0 AND t0 = tminy THEN (CASE WHEN dy > 0 THEN {LO} ELSE {HI} END) ELSE py1 + t0 * dy END AS ay,
+         CASE WHEN dx != 0 AND t1 < 1 AND t1 = tmaxx THEN (CASE WHEN dx > 0 THEN {HI} ELSE {LO} END) ELSE px1 + t1 * dx END AS bx,
+         CASE WHEN dy != 0 AND t1 < 1 AND t1 = tmaxy THEN (CASE WHEN dy > 0 THEN {HI} ELSE {LO} END) ELSE py1 + t1 * dy END AS bly
+  FROM lbp
   WHERE t0 <= t1
     AND (dx != 0 OR (px1 >= {LO} AND px1 <= {HI}))
-    AND (dy != 0 OR (py1 >= {LO} AND py1 <= {HI}))
-    AND (CAST(trunc(px1 + t0 * dx) AS BIGINT) != CAST(trunc(px1 + t1 * dx) AS BIGINT)
-      OR CAST(trunc(py1 + t0 * dy) AS BIGINT) != CAST(trunc(py1 + t1 * dy) AS BIGINT))),
+    AND (dy != 0 OR (py1 >= {LO} AND py1 <= {HI}))),
+outline AS (
+  SELECT DISTINCT poly_id, z, x, y
+  FROM lbv
+  WHERE CAST(trunc(ax) AS BIGINT) != CAST(trunc(bx) AS BIGINT)
+     OR CAST(trunc(ay) AS BIGINT) != CAST(trunc(bly) AS BIGINT)),
 ext AS (SELECT * FROM pedges WHERE ring_idx = 0),
 v1 AS (
   SELECT poly_id, z, x, y, px1 AS vx, py1 AS vy FROM ext
@@ -189,3 +201,44 @@ SELECT a.z, a.x, a.y, CAST(a.poly_id AS BIGINT) AS feature_id,
 FROM area a JOIN vstats v
   ON a.poly_id = v.poly_id AND a.z = v.z AND a.x = v.x AND a.y = v.y
 WHERE a.area2 != 0"""
+
+
+def outline_coords_sql(sf_dir: str, z_min: int, z_max: int) -> str:
+    """Coordinate-exact oracle for the OUTLINES layer round-trip
+    (mvt_outline_coords): per surviving (tile, feature), edge-multiset
+    stats over the quantized Liang-Barsky segment clips.
+
+    The decoded layer's edges (consecutive vertex pairs of its parts) are
+    exactly the visible segments whose clipped endpoints quantize to
+    DIFFERENT pixels — chaining joins segments at bitwise-shared junction
+    vertices (one pixel after quantization) and the encoder drops
+    consecutive duplicate pixels, so part structure never adds or removes
+    an edge (see polytiler.decode_outline_coords). The aggregate therefore
+    reuses lbt (the expression-for-expression LB mirror) extended with the
+    quantized endpoints; sums/extrema/cross/length pin every coordinate
+    pair order-free. Same ulp caveat as the module docstring; empirically
+    green at every SF."""
+    return f"""
+WITH {survival_ctes(sf_dir, z_min, z_max)},
+oseg AS (
+  SELECT poly_id, z, x, y,
+         CAST(trunc(ax) AS BIGINT) AS qax,
+         CAST(trunc(ay) AS BIGINT) AS qay,
+         CAST(trunc(bx) AS BIGINT) AS qbx,
+         CAST(trunc(bly) AS BIGINT) AS qby
+  FROM lbv)
+SELECT z, x, y, CAST(poly_id AS BIGINT) AS feature_id,
+       COUNT(*) AS n_edges,
+       CAST(SUM(qax) AS BIGINT) AS sum_ax,
+       CAST(SUM(qay) AS BIGINT) AS sum_ay,
+       CAST(SUM(qbx) AS BIGINT) AS sum_bx,
+       CAST(SUM(qby) AS BIGINT) AS sum_by,
+       MIN(LEAST(qax, qbx)) AS min_px,
+       MAX(GREATEST(qax, qbx)) AS max_px,
+       MIN(LEAST(qay, qby)) AS min_py,
+       MAX(GREATEST(qay, qby)) AS max_py,
+       CAST(SUM(qax * qby - qbx * qay) AS BIGINT) AS cross_sum,
+       CAST(SUM((qbx - qax) * (qbx - qax) + (qby - qay) * (qby - qay)) AS BIGINT) AS len2_sum
+FROM oseg
+WHERE qax != qbx OR qay != qby
+GROUP BY 1, 2, 3, 4"""

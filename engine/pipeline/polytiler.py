@@ -513,3 +513,79 @@ def decode_polygon_coords(tiles: DataFrame, layer: str = "polygons") -> DataFram
         "sum_qy long, min_qx long, max_qx long, min_qy long, max_qy long, "
         "area2_abs long",
     )
+
+
+OUTLINE_COORD_COLS = (
+    "z", "x", "y", "feature_id", "n_edges",
+    "sum_ax", "sum_ay", "sum_bx", "sum_by",
+    "min_px", "max_px", "min_py", "max_py",
+    "cross_sum", "len2_sum",
+)
+
+
+def decode_outline_coords(tiles: DataFrame, layer: str = "outlines") -> DataFrame:
+    """B16 at coordinate granularity for the OUTLINES layer: decode every
+    emitted tile's (Multi)LineString features and emit per-(tile, feature)
+    edge-multiset stats the Liang-Barsky oracle reproduces in closed form
+    (engine.pipeline.polyoracle.outline_coords_sql).
+
+    Why the EDGE multiset is the right projection: a decoded part's vertex
+    stream is [a_0, b_0, b_1, ...] (chained clipped segments share their
+    junction vertex bitwise, so quantization maps it to one pixel) with
+    consecutive duplicate pixels dropped — hence each consecutive decoded
+    vertex pair is exactly one visible source segment's (trunc(a), trunc(b))
+    with trunc(a) != trunc(b), and the per-feature multiset of decoded edges
+    equals the multiset of quantized visible distinct-pixel segment clips
+    over all rings. Sums/extrema/cross/length stats over that multiset pin
+    every decoded coordinate pair (any wrong pixel or wrong pairing moves a
+    stat) while staying invariant to part count and chaining order.
+    Closes the last count-only layer of the round-trip verify (B16;
+    reference unmarshal.go:93-108 is the decode twin)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {c: [] for c in OUTLINE_COORD_COLS}
+            for zt, xt, yt, data in zip(pdf["z"], pdf["x"], pdf["y"], pdf["mvt"]):
+                layers = tilemod.decode_tile(bytes(data))
+                if layer not in layers:
+                    continue
+                for f in layers[layer]["features"]:
+                    words = np.asarray(f["geometry"], dtype=np.uint32)
+                    kind, parts = geomstream.decode_linestrings(words)
+                    if kind == "LineString":
+                        parts = [parts]
+                    arrs = [np.asarray(p, dtype=np.int64) for p in parts]
+                    a = np.concatenate([p[:-1] for p in arrs])
+                    b = np.concatenate([p[1:] for p in arrs])
+                    allp = np.concatenate(arrs)
+                    rows["z"].append(int(zt))
+                    rows["x"].append(int(xt))
+                    rows["y"].append(int(yt))
+                    rows["feature_id"].append(int(f["id"]))
+                    rows["n_edges"].append(len(a))
+                    rows["sum_ax"].append(int(a[:, 0].sum()))
+                    rows["sum_ay"].append(int(a[:, 1].sum()))
+                    rows["sum_bx"].append(int(b[:, 0].sum()))
+                    rows["sum_by"].append(int(b[:, 1].sum()))
+                    rows["min_px"].append(int(allp[:, 0].min()))
+                    rows["max_px"].append(int(allp[:, 0].max()))
+                    rows["min_py"].append(int(allp[:, 1].min()))
+                    rows["max_py"].append(int(allp[:, 1].max()))
+                    rows["cross_sum"].append(
+                        int((a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]).sum())
+                    )
+                    rows["len2_sum"].append(int(((b - a) ** 2).sum()))
+            yield pd.DataFrame(
+                {
+                    c: pd.array(rows[c], dtype="int32" if c == "z" else "int64")
+                    for c in OUTLINE_COORD_COLS
+                }
+            )
+
+    return tiles.select("z", "x", "y", "mvt").mapInPandas(
+        run,
+        "z int, x long, y long, feature_id long, n_edges long, "
+        "sum_ax long, sum_ay long, sum_bx long, sum_by long, "
+        "min_px long, max_px long, min_py long, max_py long, "
+        "cross_sum long, len2_sum long",
+    )

@@ -936,6 +936,19 @@ def q_media_dims_sql(sf_dir):
     return multimodal.media_dims_sql(fixtures.pages_cte(sf_dir))
 
 
+def q_mvt_outline_coords(spark, sf_dir):
+    """B16 coordinate-exact for the OUTLINES layer: decoded (Multi)LineString
+    edge-multiset stats per (tile, feature) vs the Liang-Barsky clip
+    oracle's quantized segment endpoints — closes the last count-only layer
+    of the round-trip verify."""
+    tiles = polytiler.encode_polygon_tiles(spark, sf_dir, 0, 4)
+    return polytiler.decode_outline_coords(tiles)
+
+
+def q_mvt_outline_coords_sql(sf_dir):
+    return polyoracle.outline_coords_sql(sf_dir, 0, 4)
+
+
 def q_mvt_polygon_coords(spark, sf_dir):
     """B16 coordinate-exact for the polygon layer: decoded quantized
     exterior-ring vertex sets + |area2| per (tile, feature) vs the clip
@@ -1080,6 +1093,7 @@ FROM cnt JOIN rt ON cnt.grid_row = rt.grid_row AND cnt.grid_col = rt.grid_col"""
 # with headroom.
 REGISTRY: dict[str, tuple] = {
     # -- never-driver-checked (r3 overflow) + new this round: FIRST --
+    "mvt_outline_coords": (q_mvt_outline_coords, q_mvt_outline_coords_sql),
     "corpus_prep": (q_corpus_prep, q_corpus_prep_sql),
     "media_dims": (q_media_dims, q_media_dims_sql),
     "mvt_polygon_coords": (q_mvt_polygon_coords, q_mvt_polygon_coords_sql),

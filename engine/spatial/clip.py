@@ -72,6 +72,7 @@ def clip_line(line: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> l
     d = q - p
     t0 = np.zeros(len(p))
     t1 = np.ones(len(p))
+    tmins, tmaxs = [], []
     for axis, lo, hi in ((0, x0, x1), (1, y0, y1)):
         dv = d[:, axis]
         pv = p[:, axis]
@@ -80,10 +81,25 @@ def clip_line(line: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> l
             thi = np.where(dv != 0, (hi - pv) / dv, -np.inf)
         tmin = np.minimum(tlo, thi)
         tmax = np.maximum(tlo, thi)
+        tmins.append(tmin)
+        tmaxs.append(tmax)
         par_in = (dv == 0) & (pv >= lo) & (pv <= hi)
         t0 = np.where(dv != 0, np.maximum(t0, tmin), np.where(par_in, t0, 2.0))
         t1 = np.where(dv != 0, np.minimum(t1, tmax), np.where(par_in, t1, -1.0))
     visible = t0 <= t1
+    av = p + t0[:, None] * d
+    bv = p + t1[:, None] * d
+    # snap binding-clamp endpoints onto the exact boundary constant — the
+    # LB twin of clip_ring's `inter[:, axis] = bound` (see
+    # clipbatch.clip_segments, which must stay byte-identical to this path)
+    for axis, lo, hi in ((0, x0, x1), (1, y0, y1)):
+        dv = d[:, axis]
+        entry = np.where(dv > 0, lo, hi)
+        exit_ = np.where(dv > 0, hi, lo)
+        bind0 = (dv != 0) & (t0 > 0) & (t0 == tmins[axis])
+        bind1 = (dv != 0) & (t1 < 1) & (t1 == tmaxs[axis])
+        av[:, axis] = np.where(bind0, entry, av[:, axis])
+        bv[:, axis] = np.where(bind1, exit_, bv[:, axis])
 
     parts: list[list[np.ndarray]] = []
     current: list[np.ndarray] = []
@@ -93,8 +109,8 @@ def clip_line(line: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> l
                 parts.append(current)
             current = []
             continue
-        a = p[i] + t0[i] * d[i]
-        b = p[i] + t1[i] * d[i]
+        a = av[i]
+        b = bv[i]
         if not current:
             current = [a, b]
         elif np.allclose(current[-1], a):

@@ -129,6 +129,7 @@ def clip_segments(
     d = q - p
     t0 = np.zeros(len(p))
     t1 = np.ones(len(p))
+    tmins, tmaxs = [], []
     for axis, lo, hi in ((0, x0, x1), (1, y0, y1)):
         dv = d[:, axis]
         pv = p[:, axis]
@@ -137,12 +138,27 @@ def clip_segments(
             thi = np.where(dv != 0, (hi - pv) / dv, -np.inf)
         tmin = np.minimum(tlo, thi)
         tmax = np.maximum(tlo, thi)
+        tmins.append(tmin)
+        tmaxs.append(tmax)
         par_in = (dv == 0) & (pv >= lo) & (pv <= hi)
         t0 = np.where(dv != 0, np.maximum(t0, tmin), np.where(par_in, t0, 2.0))
         t1 = np.where(dv != 0, np.minimum(t1, tmax), np.where(par_in, t1, -1.0))
     visible = t0 <= t1
     a = p + t0[:, None] * d
     b = p + t1[:, None] * d
+    # Snap: an endpoint produced by a BINDING parametric clamp lies exactly
+    # on that axis's boundary, but p + t*d reconstructs it with ulp noise —
+    # and int32 truncation at an integer boundary flips on that noise. Set
+    # the binding axis's coordinate to the boundary constant (the LB twin
+    # of clip_ring's `inter[:, axis] = bound`).
+    for axis, lo, hi in ((0, x0, x1), (1, y0, y1)):
+        dv = d[:, axis]
+        entry = np.where(dv > 0, lo, hi)
+        exit_ = np.where(dv > 0, hi, lo)
+        bind0 = (dv != 0) & (t0 > 0) & (t0 == tmins[axis])
+        bind1 = (dv != 0) & (t1 < 1) & (t1 == tmaxs[axis])
+        a[:, axis] = np.where(bind0, entry, a[:, axis])
+        b[:, axis] = np.where(bind1, exit_, b[:, axis])
     return visible, a, b
 
 
