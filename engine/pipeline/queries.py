@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import fixtures, index, joins, polyoracle, polytiler, tilemerge, tiler
+from . import fixtures, index, joins, multipart, polyoracle, polytiler, tilemerge, tiler
 
 
 def _geotagged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,6 +949,21 @@ def q_mvt_outline_coords_sql(sf_dir):
     return polyoracle.outline_coords_sql(sf_dir, 0, 4)
 
 
+def q_mvt_multipart(spark, sf_dir):
+    """§2.A rows 11/15 driver coverage: MultiPoint + MultiPolygon features
+    encoded through the tile pipeline and decoded back (multi-part counts +
+    coordinate stats) vs a closed-form oracle — the last two codec paths
+    that had only byte-vector coverage."""
+    tiles = multipart.encode_multipoint_tiles(spark, sf_dir, 0, 2).unionByName(
+        multipart.encode_multipolygon_tiles(spark, sf_dir, 0, 4)
+    )
+    return multipart.decode_multipart_stats(tiles)
+
+
+def q_mvt_multipart_sql(sf_dir):
+    return multipart.multipart_stats_sql(sf_dir, 2, 4)
+
+
 def q_mvt_polygon_coords(spark, sf_dir):
     """B16 coordinate-exact for the polygon layer: decoded quantized
     exterior-ring vertex sets + |area2| per (tile, feature) vs the clip
@@ -1094,6 +1109,7 @@ FROM cnt JOIN rt ON cnt.grid_row = rt.grid_row AND cnt.grid_col = rt.grid_col"""
 REGISTRY: dict[str, tuple] = {
     # -- never-driver-checked (r3 overflow) + new this round: FIRST --
     "mvt_outline_coords": (q_mvt_outline_coords, q_mvt_outline_coords_sql),
+    "mvt_multipart_tiles": (q_mvt_multipart, q_mvt_multipart_sql),
     "corpus_prep": (q_corpus_prep, q_corpus_prep_sql),
     "media_dims": (q_media_dims, q_media_dims_sql),
     "mvt_polygon_coords": (q_mvt_polygon_coords, q_mvt_polygon_coords_sql),
