@@ -30,6 +30,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 # headline throughput cases used for the scaling comparison
 SCALING_CASES = (
     "geotag_hash_x40",
+    "media_dims_x10",
     "mvt_pyramid_z0_14",
     "pip_join",
     "pip_join_maponly",
@@ -60,6 +61,7 @@ def _cases():
         ("knn_3_maponly", Q.q_knn_numpy),
         ("mvt_pyramid_z0_14", lambda s, d: _mvt_pyramid(s, d, 0, 14)),
         ("geotag_hash_x40", _geotag_hash_x40),
+        ("media_dims_x10", _media_dims_x10),
         ("mvt_polygon_tiles_z0_6", _polygon_tiles_z0_6),
         ("mvt_combined_tiles", Q.q_mvt_combined),
         ("events_asof", Q.q_events_asof),
@@ -110,7 +112,9 @@ def _pyramid_shuffled_sorted(spark, sf_dir):
     zoomed = uv.withColumn("z", F.explode(F.sequence(F.lit(0), F.lit(14))))
     xe, ye = tiler._tile_xy_exprs()
     cols = ["z", "u", "v", "feature_id", "lang"]
-    parted = zoomed.select(*cols).repartition(F.col("z"), xe, ye)
+    # same exchange width as the full pyramid so this stays a true prefix
+    n_parts = tiler.encode_shuffle_partitions(spark)
+    parted = zoomed.select(*cols).repartition(n_parts, F.col("z"), xe, ye)
     return parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
 
 
@@ -199,8 +203,9 @@ def run_once(case_filter=None) -> dict:
             df.write.format("noop").mode("overwrite").save()
             dt = min(dt, time.perf_counter() - t0)
         results[name] = round(dt, 3)
-        if name == "geotag_hash_x40":
-            counters[f"{name}_rows"] = df.first()["n_hashed"]  # hashed rows
+        if "n_hashed" in df.columns:
+            # reduce-to-one-row CPU cases carry their processed-row count
+            counters[f"{name}_rows"] = df.first()["n_hashed"]
         else:
             counters[f"{name}_rows"] = df.count()
         t_total += dt
@@ -300,6 +305,25 @@ def _knn_50k(spark, sf_dir, partitioned: bool):
     return joins.knn_join(geo, centers, k=3, n_centers=BENCH_POLY_N)
 
 
+def _media_dims_x10(spark, sf_dir):
+    """Second CPU-dominant scaling case, a DIFFERENT kernel from the sha256
+    geotag: the pure-codegen binary container-header parse (hex/substring/
+    conv/position over a generated binary column) over pages x10, reduced
+    to one row — string/binary codegen scaling with no Python stage and no
+    wide shuffle."""
+    from engine.pipeline import fixtures
+    from engine.textops import multimodal
+
+    pages = fixtures.pages_df(spark, sf_dir).select("url", "html")
+    rep = pages.selectExpr("explode(sequence(0, 9)) as r", "url", "html").selectExpr(
+        "concat(url, '#', cast(r as string)) as url", "html"
+    )
+    dims = multimodal.media_dims_df(rep)
+    return dims.selectExpr(
+        "sum(width) as s1", "sum(height) as s2", "count(*) as n_hashed"
+    )
+
+
 def _geotag_hash_x40(spark, sf_dir):
     """CPU-dominant scaling case: the sha256 geotag pipeline over pages
     x40, reduced to one row (whole-stage codegen, no shuffle of note, no
@@ -368,6 +392,17 @@ def _harvest_prev_raws(path: str = "BENCH/BASELINE.md") -> list[dict]:
             if run.get("code") == stamp:
                 out.append(run)
     return out
+
+
+def _median_of(runs: list[dict], case: str) -> float:
+    """Per-case median across recorded runs — published next to the minima
+    so a same-direction drift across many cases (real regression) is
+    distinguishable from the sandbox's bursty per-run variance (which moves
+    minima little and medians a lot)."""
+    import statistics
+
+    vals = [r["queries"][case] for r in runs if case in r.get("queries", {})]
+    return statistics.median(vals)
 
 
 def _best_of(runs: list[dict]) -> dict:
@@ -489,16 +524,27 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
         "",
         "## Headline (full case set, one protocol, local[8] vs local[32])",
         "",
-        "| case | t(8) s | t(32) s |",
-        "|---|---|---|",
+        "min = best across accumulated same-stamp runs (engine cost under",
+        "sandbox noise); med = per-case median across those runs (what a",
+        "single driver invocation should look like — compare the driver's",
+        "BENCH_r*.json against med, not min).",
+        "",
+        "| case | t(8) min | t(8) med | t(32) min | t(32) med |",
+        "|---|---|---|---|---|",
         *[
             f"| {case} | {headline[8]['queries'][case]:.2f} | "
-            f"{headline[32]['queries'].get(case, float('nan')):.2f} |"
+            f"{_median_of(headline_raw[8], case):.2f} | "
+            f"{headline[32]['queries'].get(case, float('nan')):.2f} | "
+            f"{_median_of(headline_raw[32], case):.2f} |"
             for case in headline[8]["queries"]
         ],
         "",
         f"Totals (sum of the per-case minima above): local[8] "
-        f"{headline[8]['value']:.1f}s, local[32] {headline[32]['value']:.1f}s.",
+        f"{headline[8]['value']:.1f}s, local[32] {headline[32]['value']:.1f}s. "
+        f"Median totals: local[8] "
+        f"{sum(_median_of(headline_raw[8], c) for c in headline[8]['queries']):.1f}s, "
+        f"local[32] "
+        f"{sum(_median_of(headline_raw[32], c) for c in headline[32]['queries']):.1f}s.",
         "",
         "Raw headline JSON (one line per RUN, git-stamped; regeneration",
         "merges only lines whose `code` matches the clean HEAD commit):",

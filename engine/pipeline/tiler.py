@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -208,6 +210,18 @@ def encode_point_tiles(
     return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
 
 
+def encode_shuffle_partitions(spark) -> int:
+    """Width of the tile-encode final exchange: max(4 x total cores, 32),
+    overridable via SPARK_GRAFT_ENCODE_PARTS. On a cluster
+    defaultParallelism is the executor-core total, so the encode stage gets
+    ~4 waves of smaller tasks — enough to overlap shuffle reads with Python
+    encode and rebalance stragglers without per-task overhead dominating."""
+    n = int(os.environ.get("SPARK_GRAFT_ENCODE_PARTS", "0"))
+    if n:
+        return n
+    return max(4 * spark.sparkContext.defaultParallelism, 32)
+
+
 def encode_point_tiles_compact(
     df: DataFrame,
     z_min: int = 0,
@@ -231,7 +245,16 @@ def encode_point_tiles_compact(
     zoomed = df.withColumn("z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max))))
     cols = ["z", "u", "v", "feature_id"] + [c for c, _ in tag_cols]
     xe, ye = _tile_xy_exprs()
-    parted = zoomed.select(*cols).repartition(F.col("z"), xe, ye)
+    # Final-exchange width: more, smaller encode tasks let the Python encode
+    # stage overlap shuffle reads and keep each task's Arrow/numpy working
+    # set inside an already-faulted arena (same rationale as the 16k batch
+    # cap in session.py). Measured on the z0-14 pyramid at sf0.1: 4x cores
+    # beats 2x cores at EVERY level (8 cores: 10.3s vs 15.9s; 32 cores:
+    # 10.5s vs 16.8s same-session), and over-widening regresses (96 parts
+    # at 8 cores: 17.5s). Bytes are partitioning-invariant
+    # (carry_group_iter completes tile groups).
+    n_parts = encode_shuffle_partitions(df.sparkSession)
+    parted = zoomed.select(*cols).repartition(n_parts, F.col("z"), xe, ye)
     prepared = parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
 
     def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
