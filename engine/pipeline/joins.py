@@ -550,7 +550,19 @@ def knn_join(
             )
         )
         cand = pages_c.join(F.broadcast(neigh), ["cx", "cy"])
-        top = _topk(cand, k)
+        # provability pre-filter: the verify gate below demands the k-th
+        # candidate within w, and every center outside the 3x3 is > w away,
+        # so {centers with dist <= w} is exactly the candidate set that can
+        # produce a PROVABLE top-k. Filtering to it before the window is
+        # semantics-preserving (gate-passing pages keep their true top-k,
+        # gate-failing pages fall through either way) and cuts the window
+        # exchange by the w-ball / 3x3-neighborhood area ratio (~65% at
+        # level 1, ~90%+ at coarse widths).
+        cand = _with_dist2(cand).filter(F.col("dist2") <= F.lit(w * w))
+        w_url = Window.partitionBy("url").orderBy("dist2", "poly_id")
+        top = cand.withColumn("rank", F.row_number().over(w_url)).filter(
+            F.col("rank") <= k
+        )
         # self-verification in the same url partitioning (no extra shuffle)
         wu = Window.partitionBy("url")
         top = top.withColumn("_cnt", F.count("*").over(wu)).withColumn(
@@ -664,6 +676,27 @@ def knn_join_numpy(
 KNN_RESIDUE_CROSS_LIMIT = 200_000_000
 
 
+def _ring_offsets(w: float, c: float) -> list[tuple[int, int]]:
+    """Fine-cell (dx, dy) offsets a center must replicate into so that
+    every center within distance ``w`` of ANY point of a page's cell is
+    joined: offset cell g is kept iff its min distance to the page cell f
+    is <= w (adjacent cells touch, so the per-axis gap is
+    max(|d| - 1, 0) * c). As c shrinks the kept set approaches the pi*w^2
+    ball; the excluded corners are exactly where a coarse 3x3 neighborhood
+    (a (3w)^2 block) wastes candidate pairs."""
+    import math
+
+    r = int(math.ceil(w / c)) + 1
+    out = []
+    for dx in range(-r, r + 1):
+        ax = max(abs(dx) - 1, 0) * c
+        for dy in range(-r, r + 1):
+            ay = max(abs(dy) - 1, 0) * c
+            if ax * ax + ay * ay <= w * w:
+                out.append((dx, dy))
+    return out
+
+
 def knn_join_partitioned(
     geotagged: DataFrame,
     centers: DataFrame,
@@ -680,9 +713,22 @@ def knn_join_partitioned(
 
     Same provably-exact cell-neighbor cascade as knn_join, but the
     candidate join is a SHUFFLE hash join on (cell, salt): centers explode
-    into their 3x3 neighborhood AND n_salt salt replicas, pages pick one
-    salt by url hash — a hot cell spreads over n_salt reducers. Widening
-    level_mults shrink the residue without any single-task state.
+    into their neighborhood AND n_salt salt replicas, pages pick one salt
+    by url hash — a hot cell spreads over n_salt reducers. Widening
+    level_mults shrink the residue without any single-task state. Three
+    properties keep the candidate-pair volume (the dominant cost) bounded
+    and OFF the wire:
+
+    - pairs never shuffle: a url has exactly one (cell, salt) key, so the
+      shuffle hash join already co-locates each url's candidates and the
+      top-k windows run partitioned by the join keys + url — Catalyst
+      proves the child partitioning satisfies them, so the pairs are
+      sorted in place, never exchanged;
+    - provability pre-filter: only centers within w can appear in a
+      provable top-k, so dist2 <= w^2 drops the rest before the sort;
+    - ring-pruned fine cells at coarse widths (c = w/8): the join covers
+      the ~pi*w^2 ball instead of the (3w)^2 block, pruning the corner
+      cells that cannot hold a provable candidate.
 
     The terminal residue (pages with no provable top-k at any level, e.g.
     polar pages) is NEVER an unconditional fact x dim cross join: the
@@ -704,28 +750,77 @@ def knn_join_partitioned(
     remaining = pages
 
     def run_level(remaining, w):
-        cell = f"cast(floor(%s / {w}) as bigint)"
+        # At coarse widths the grid goes FINER than the proof radius: with
+        # c == w the 3x3 neighborhood examines a (3w)^2 block while
+        # provability only needs the w-ball (pi*w^2) — at the terminal
+        # (out-of-band / polar) widths that is ~2-3x more candidate pairs
+        # than necessary, and pair production is the cascade's dominant
+        # cost. Fine cells (c = w/8) + ring-pruned offsets join only the
+        # cells whose min distance to the page's cell is <= w; the
+        # center-side explode grows to |offsets| rows per center, but that
+        # stays in the millions where the pair production it avoids is in
+        # the billions. Fine cells also spread hot coarse cells, so the
+        # salt replication is redundant there.
+        if w >= 4.0 * cell_deg:
+            c = max(cell_deg, w / 8.0)
+            offsets = _ring_offsets(w, c)
+            salt = 1
+        else:
+            c = w
+            offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+            salt = n_salt
+        cell = f"cast(floor(%s / {c}) as bigint)"
         pages_c = (
             remaining.withColumn("cx", F.expr(cell % "lon"))
             .withColumn("cy", F.expr(cell % "lat"))
-            .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+            .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)))
+        )
+        off = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                    for di, dj in offsets
+                ]
+            )
         )
         neigh = (
-            centers.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-            .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-            .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+            centers.withColumn("o", off)
+            .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
             .selectExpr(
                 "poly_id",
                 "clon",
                 "clat",
                 "_salt",
-                f"{cell % 'clon'} + di as cx",
-                f"{cell % 'clat'} + dj as cy",
+                f"{cell % 'clon'} + o.di as cx",
+                f"{cell % 'clat'} + o.dj as cy",
             )
         )
-        cand = pages_c.join(neigh, ["cx", "cy", "_salt"])
-        top = _topk(cand, k)
-        wu = Window.partitionBy("url")
+        # pin a shuffle hash join: its output partitioning is
+        # HashPartitioning(cx, cy, _salt), which the windows below reuse.
+        # (A broadcast of the shrinking page side would leave the candidate
+        # stream partitioned by the center scan instead, forcing the
+        # exchange this plan exists to avoid.)
+        cand = pages_c.join(neigh.hint("shuffle_hash"), ["cx", "cy", "_salt"])
+        # provability pre-filter — same argument as knn_join's: only
+        # centers within w can appear in a provable top-k, and pages whose
+        # within-w candidate count is < k fall through to the next level
+        # either way. At coarse widths (the polar-band terminal levels)
+        # this cuts the candidate volume ~10x before any sort.
+        cand = _with_dist2(cand).filter(F.col("dist2") <= F.lit(w * w))
+        # a url carries exactly ONE (cx, cy, _salt) key, so the join's
+        # hash partitioning already co-locates each url's candidates;
+        # windowing by the join keys + url lets Catalyst prove
+        # HashPartitioning(cx, cy, _salt) satisfies the clustered
+        # distribution -> the candidate pairs (billions at coarse levels:
+        # the cascade's dominant data volume) NEVER cross the wire — the
+        # top-k is a within-partition sort, not an exchange.
+        wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy(
+            "dist2", "poly_id"
+        )
+        top = cand.withColumn("rank", F.row_number().over(wk)).filter(
+            F.col("rank") <= k
+        )
+        wu = Window.partitionBy("cx", "cy", "_salt", "url")
         top = top.withColumn("_cnt", F.count("*").over(wu)).withColumn(
             "_maxd", F.max("dist2").over(wu)
         )
