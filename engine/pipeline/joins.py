@@ -92,9 +92,13 @@ def pip_join(
     )
     crossings = (
         candidates.join(F.broadcast(edges), "poly_id")
-        .withColumn("hit", F.expr(f"CASE WHEN {CROSSING_COND} THEN 1 ELSE 0 END"))
+        # Non-crossing pairs contribute 0 to the parity sum and pairs with
+        # ZERO crossings are even-parity (filtered below anyway), so they
+        # can be dropped BEFORE the aggregate: the hash aggregate sees only
+        # actual crossings (~#hits) instead of candidates x edges.
+        .filter(F.expr(CROSSING_COND))
         .groupBy("url", "poly_id")
-        .agg(F.sum("hit").alias("c"))
+        .agg(F.count("*").alias("c"))
     )
     return crossings.filter(F.col("c") % 2 == 1).select("url", "poly_id")
 
@@ -286,8 +290,15 @@ def pip_join_partitioned(
         f"cast(floor(lon / {w}) as bigint) as gx",
         f"cast(floor(lat / {w}) as bigint) as gy",
     ).withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+    # The shuffle-hash hint PINS the declared plan: the pages side of this
+    # engine derives from a tiny pre-explode source (Iceberg stats see KBs),
+    # so Catalyst's size estimate would otherwise BROADCAST the fact side —
+    # planning both "partitioned" joins as BroadcastHashJoin(BuildLeft=pages)
+    # and defeating the salting entirely (measured: 22.5s flat 8->32 at the
+    # 50k calibration point vs 6s properly shuffled). Same trap and same fix
+    # as knn_join_partitioned's candidate join.
     candidates = (
-        pages_c.join(bbox_cells, ["gx", "gy", "_salt"])
+        pages_c.join(bbox_cells.hint("shuffle_hash"), ["gx", "gy", "_salt"])
         .filter(
             (F.col("lon") >= F.col("bx0"))
             & (F.col("lon") <= F.col("bx1"))
@@ -356,15 +367,20 @@ def pip_join_partitioned(
             )
             .drop("_skew", "_salt")
         )
-        paired = cand_s.join(edges_s, ["poly_id", "_salt_e"])
+        paired = cand_s.join(edges_s.hint("shuffle_hash"), ["poly_id", "_salt_e"])
     else:
-        paired = candidates.drop("_salt").join(edges, "poly_id")
+        # shuffle_hash keeps the edge join a shuffle join too; with the
+        # candidates exchanged on poly_id, Catalyst proves HashPartitioning
+        # (poly_id) satisfies the (url, poly_id) aggregate below, so the
+        # crossings never re-exchange (same trick as the kNN top-k windows).
+        paired = candidates.drop("_salt").join(edges.hint("shuffle_hash"), "poly_id")
     crossings = (
-        paired.withColumn(
-            "hit", F.expr(f"CASE WHEN {CROSSING_COND} THEN 1 ELSE 0 END")
-        )
+        # drop non-crossing pairs BEFORE the aggregate (zero-crossing groups
+        # are even-parity; see pip_join) — the post-join hash aggregate
+        # processes ~#crossings rows, not candidates x edges
+        paired.filter(F.expr(CROSSING_COND))
         .groupBy("url", "poly_id")
-        .agg(F.sum("hit").alias("c"))
+        .agg(F.count("*").alias("c"))
     )
     return crossings.filter(F.col("c") % 2 == 1).select("url", "poly_id")
 
