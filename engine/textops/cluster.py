@@ -58,11 +58,25 @@ def _hash_min_labels(
     """Hash-min label propagation core: returns ``(labels, converged)``
     where labels = (doc_id, label) with label = min doc_id reachable IF
     converged; un-converged labels are partial and must not be used."""
+    # Checkpoint the PAIR TABLE first, then build edges from the checkpoint:
+    # 1. the two union branches otherwise each recompute the full upstream
+    #    pair pipeline (LSH + Jaccard verify) — Spark does not dedup common
+    #    subplans, so materialization paid 2x the dominant cost;
+    # 2. a persist() would keep the giant pair-pipeline LOGICAL plan alive —
+    #    re-analyzed by Catalyst on every round's join (measured 3-5s/round
+    #    on 10k-row data) — and caches materialize with AQE partition
+    #    coalescing disabled (spark.sql.optimizer.canChangeCachedPlan
+    #    OutputPartitioning=false), leaving 2 x shuffle.partitions tiny
+    #    cache blocks to re-scan each round. localCheckpoint truncates the
+    #    plan to a LogicalRDD AND materializes through AQE-coalesced
+    #    partitions.
+    pairs_ck = pairs.selectExpr("doc_a", "doc_b").localCheckpoint()
     edges = (
-        pairs.selectExpr("doc_a as src", "doc_b as dst")
-        .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))
-        .persist()
+        pairs_ck.selectExpr("doc_a as src", "doc_b as dst")
+        .unionByName(pairs_ck.selectExpr("doc_b as src", "doc_a as dst"))
+        .localCheckpoint()
     )
+    _free_local_checkpoint(pairs_ck)
     # localCheckpoint per round truncates lineage: an iterative DataFrame
     # referenced more than once per round otherwise grows a plan DAG whose
     # un-memoized Catalyst traversals go exponential in the round count
@@ -92,7 +106,9 @@ def _hash_min_labels(
             converged = True
             break
         prev = sig
-    edges.unpersist()
+    # labels is checkpointed (no lineage into edges), so the edge blocks
+    # can be dropped now
+    _free_local_checkpoint(edges)
     return labels, converged
 
 
