@@ -402,7 +402,10 @@ def _median_of(runs: list[dict], case: str) -> float:
     import statistics
 
     vals = [r["queries"][case] for r in runs if case in r.get("queries", {})]
-    return statistics.median(vals)
+    # a case absent from every accumulated run (e.g. a local[8]-only case
+    # when rendering the local[32] column) must render as nan, not crash —
+    # same guard the min column gets via .get(case, nan)
+    return statistics.median(vals) if vals else float("nan")
 
 
 def _best_of(runs: list[dict]) -> dict:

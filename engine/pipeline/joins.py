@@ -499,6 +499,31 @@ def _topk_two_phase(paired: DataFrame, k: int, n_chunks: int = 32) -> DataFrame:
     )
 
 
+def _attach_persists(out: DataFrame, frames) -> DataFrame:
+    """Tag a cascade output with the intermediates it persisted so the
+    caller can free them (free_persisted) once its terminal action has
+    materialized the result. The persists are load-bearing WITHIN one
+    action (each level's `good` feeds both the union output and the next
+    level's anti-join, and Spark does not dedup common subplans), but
+    their lifetime is the QUERY — in a long-lived session repeated kNN
+    calls would otherwise accumulate block-manager storage."""
+    out._graft_persists = list(frames)
+    return out
+
+
+def free_persisted(out: DataFrame) -> None:
+    """Drop the block-manager storage a kNN cascade output persisted, once
+    the caller's terminal action has run. Never destructive: these are
+    cache-manager persists, not checkpoints — a later action on ``out``
+    recomputes them from lineage. Idempotent; no-op on untagged frames."""
+    for f in getattr(out, "_graft_persists", ()):
+        try:
+            f.unpersist(False)
+        except Exception:  # best-effort on teardown / Connect backends
+            pass
+    out._graft_persists = []
+
+
 def knn_bruteforce(geotagged: DataFrame, centers: DataFrame, k: int = 3) -> DataFrame:
     """Exact kNN via full cross join + window top-k (the baseline path)."""
     paired = geotagged.select("url", "lat", "lon").join(F.broadcast(centers))
@@ -541,10 +566,8 @@ def knn_join(
         if n_centers is None:
             n_centers = centers.count()  # dimension side: tiny, driver-known
         cell_deg = min(KNN_CELL_DEG, max(2.0, (129900.0 / max(n_centers, 1)) ** 0.5))
-    # persist the narrow (url,lat,lon) projection and each level's verified
-    # output: the cascade's anti-joins would otherwise replay the upstream
-    # lineage (sha2 geotag derivation) once per level.
-    pages = geotagged.select("url", "lat", "lon").persist()
+    pages = geotagged.select("url", "lat", "lon")
+    frames = []
     resolved = []
     remaining = pages
     for w in (m * cell_deg for m in level_mults):
@@ -561,42 +584,53 @@ def knn_join(
                 "poly_id",
                 "clon",
                 "clat",
-                f"{cell % 'clon'} + di as cx",
-                f"{cell % 'clat'} + dj as cy",
+                f"{cell % 'clon'} + di as ncx",
+                f"{cell % 'clat'} + dj as ncy",
             )
         )
-        cand = pages_c.join(F.broadcast(neigh), ["cx", "cy"])
-        # provability pre-filter: the verify gate below demands the k-th
-        # candidate within w, and every center outside the 3x3 is > w away,
-        # so {centers with dist <= w} is exactly the candidate set that can
-        # produce a PROVABLE top-k. Filtering to it before the window is
-        # semantics-preserving (gate-passing pages keep their true top-k,
-        # gate-failing pages fall through either way) and cuts the window
-        # exchange by the w-ball / 3x3-neighborhood area ratio (~65% at
-        # level 1, ~90%+ at coarse widths).
-        cand = _with_dist2(cand).filter(F.col("dist2") <= F.lit(w * w))
+        # LEFT OUTER join with the w-ball predicate INSIDE the join
+        # condition (not a post-filter): every page emerges with either
+        # its in-ball candidates or exactly one null row, so the pass/
+        # fail routing falls out of the SAME window stage — no anti-join,
+        # no second pass over the page table, no separate pages persist
+        # (the r5 cascade paid a pages persist + a url-keyed anti
+        # exchange per level). In-ball is also exactly the provability
+        # pre-filter: the verify gate demands the k-th candidate within
+        # w, and every center outside the 3x3 is > w away, so dropping
+        # out-of-ball candidates at the probe preserves semantics while
+        # cutting the window input by the w-ball / (3w)^2 area ratio.
+        dist2_e = (
+            "((lon - clon) * (lon - clon) + (lat - clat) * (lat - clat))"
+        )
+        cond = F.expr(f"cx = ncx AND cy = ncy AND {dist2_e} <= {w * w!r}")
+        cand = pages_c.join(F.broadcast(neigh), cond, "left")
+        cand = cand.withColumn("dist2", F.expr(dist2_e))  # null <=> no match
         w_url = Window.partitionBy("url").orderBy("dist2", "poly_id")
-        top = cand.withColumn("rank", F.row_number().over(w_url)).filter(
-            F.col("rank") <= k
-        )
-        # self-verification in the same url partitioning (no extra shuffle)
         wu = Window.partitionBy("url")
-        top = top.withColumn("_cnt", F.count("*").over(wu)).withColumn(
-            "_maxd", F.max("dist2").over(wu)
-        )
-        good = (
-            top.filter((F.col("_cnt") == k) & (F.col("_maxd") <= F.lit(w * w)))
-            .select("url", "poly_id", "dist2", "rank")
+        # _cnt counts NON-NULL candidates (count(col) skips nulls); the
+        # verify gate "k-th candidate within w" is _cnt >= k because every
+        # joined candidate is in-ball by the join condition
+        split = (
+            cand.withColumn("rank", F.row_number().over(w_url))
+            .withColumn("_cnt", F.count("poly_id").over(wu))
+            .filter(F.col("rank") <= k)
+            .select("url", "lat", "lon", "poly_id", "dist2", "rank", "_cnt")
+            # referenced twice (good + remaining); k rows/page max. The
+            # caller frees via free_persisted after its terminal action.
             .persist()
         )
+        frames.append(split)
+        good = split.filter(F.col("_cnt") >= k).select(
+            "url", "poly_id", "dist2", "rank"
+        )
         resolved.append(good)
-        remaining = remaining.join(
-            good.select("url").distinct(), "url", "left_anti"
-        ).persist()
+        remaining = split.filter(
+            (F.col("_cnt") < k) & (F.col("rank") == 1)
+        ).select("url", "lat", "lon")
     out = knn_join_numpy(remaining, centers, k)
     for good in resolved:
         out = out.unionByName(good)
-    return out
+    return _attach_persists(out, frames)
 
 
 def knn_oracle_sql(with_ctes: str, k: int = 3) -> str:
@@ -729,6 +763,10 @@ def _knn_cell_bound_terminal(
        get a small ball; only genuinely isolated pages get a wide one).
     3. Candidate centers for P = centers whose point-to-cell distance to P
        is <= sqrt(R2(P)). Contains every possible top-k member by (2).
+    4. Per-CENTER refinement: r2pt(P) = k-th smallest point-to-cell MAX
+       distance over P's candidates — the same argument at center
+       granularity, so the page-cell diagonal is paid once instead of the
+       (|d|+1)-cell slack twice; candidates shrink to pmind2 <= r2pt.
 
     The bound table is |page cells| x |center cells| rows (both DISTINCT
     aggregates — thousands, never data-sized), so steps 1-2 cost nothing at
@@ -757,52 +795,107 @@ def _knn_cell_bound_terminal(
     ccells = cc.groupBy("kx", "ky").agg(F.count("*").alias("_n"))
     dmin = lambda a, b: f"(greatest(abs({a} - {b}) - 1L, 0L) * {c})"
     dmax = lambda a, b: f"((abs({a} - {b}) + 1L) * {c})"
-    pairs = (
+    mind2_e = (
+        f"{dmin('cx','kx')} * {dmin('cx','kx')}"
+        f" + {dmin('cy','ky')} * {dmin('cy','ky')}"
+    )
+    maxd2_e = (
+        f"{dmax('cx','kx')} * {dmax('cx','kx')}"
+        f" + {dmax('cy','ky')} * {dmax('cy','ky')}"
+    )
+    # Metadata-cheap UPPER bound on r2 BEFORE the pair table exists: the
+    # nearest single center cell holding >= k centers bounds the k-th
+    # neighbor by its maxd2 (one min-agg over the cells-only cross — no
+    # window, map-side partial). Pushing `mind2 <= r2ub` INTO the pair
+    # join condition means the |pcells| x |ccells| cross (3.7M rows on the
+    # 50k-center residue geometry) is never materialized or exchanged —
+    # the nested-loop join emits only the ~1% of cell pairs that can
+    # matter, and every window below runs on that pruned set. (Measured:
+    # windowing the unpruned cross cost ~9-11s at local[32]; the whole
+    # terminal now runs in a fraction of that.) Exact: r2 <= r2ub, so a
+    # pair with mind2 > r2ub can neither define r2 (it sorts after it in
+    # the cum window: maxd2 >= mind2 > r2ub >= r2) nor be a candidate.
+    # one pass: the conditional min folds the ">= k centers" gate into the
+    # aggregate, so pcells is referenced (and its distinct computed) once,
+    # and page cells survive even when NO cell holds >= k centers
+    # (r2ub = inf -> the pair join below degrades to the full cross).
+    pbound = (
         pcells.crossJoin(F.broadcast(ccells))
-        .withColumn(
-            "mind2",
-            F.expr(
-                f"{dmin('cx','kx')} * {dmin('cx','kx')}"
-                f" + {dmin('cy','ky')} * {dmin('cy','ky')}"
-            ),
-        )
-        .withColumn(
-            "maxd2",
-            F.expr(
-                f"{dmax('cx','kx')} * {dmax('cx','kx')}"
-                f" + {dmax('cy','ky')} * {dmax('cy','ky')}"
-            ),
-        )
-    )
-    wp = Window.partitionBy("cx", "cy").orderBy("maxd2")
-    r2 = (
-        pairs.withColumn("_cum", F.sum("_n").over(wp))
-        .filter(F.col("_cum") >= k)
+        .withColumn("maxd2", F.expr(maxd2_e))
         .groupBy("cx", "cy")
-        .agg(F.min("maxd2").alias("r2"))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("_n") >= k, F.col("maxd2"))),
+                F.lit(float("inf")),
+            ).alias("r2ub")
+        )
     )
+    pairs = (
+        pbound.join(F.broadcast(ccells), F.expr(f"{mind2_e} <= r2ub"))
+        .withColumn("mind2", F.expr(mind2_e))
+        .withColumn("maxd2", F.expr(maxd2_e))
+    )
+    # r2 and the candidate filter FUSE into one Window stage: the running
+    # count ordered by maxd2 and the per-cell min-over-threshold are both
+    # window functions over the SAME (cx, cy) partitioning, so Catalyst
+    # plans one exchange + one sorted pass — no groupBy/self-join round
+    # trip re-materializing the pair table.
+    wcell = Window.partitionBy("cx", "cy")
+    wp = wcell.orderBy("maxd2")
     cand_cells = (
-        pairs.join(r2, ["cx", "cy"], "left")
-        .withColumn("r2", F.coalesce(F.col("r2"), F.lit(float("inf"))))
+        pairs.withColumn("_cum", F.sum("_n").over(wp))
+        .withColumn(
+            "r2",
+            F.coalesce(
+                F.min(F.when(F.col("_cum") >= k, F.col("maxd2"))).over(wcell),
+                F.lit(float("inf")),  # < k centers total: keep everything
+            ),
+        )
         .filter(F.col("mind2") <= F.col("r2"))
         .select("cx", "cy", "kx", "ky", "r2")
     )
-    # tighten cell->cell to point(center)->cell before the fact join
+    # tighten cell->cell to point(center)->cell: per candidate center q
+    # and page cell P compute the point-to-cell MIN distance (pmind2: 0 if
+    # q is over P) and MAX distance (pmaxd2: to P's farthest corner)
     cellcand = (
         cand_cells.join(cc, ["kx", "ky"])
         .withColumn("_pdx", F.expr(f"greatest(cx * {c} - clon, clon - (cx + 1) * {c}, 0D)"))
         .withColumn("_pdy", F.expr(f"greatest(cy * {c} - clat, clat - (cy + 1) * {c}, 0D)"))
-        .filter(
-            F.col("_pdx") * F.col("_pdx") + F.col("_pdy") * F.col("_pdy")
-            <= F.col("r2")
+        .withColumn("pmind2", F.col("_pdx") * F.col("_pdx") + F.col("_pdy") * F.col("_pdy"))
+        .filter(F.col("pmind2") <= F.col("r2"))
+        .withColumn("_mx", F.expr(f"greatest(clon - cx * {c}, (cx + 1) * {c} - clon)"))
+        .withColumn("_my", F.expr(f"greatest(clat - cy * {c}, (cy + 1) * {c} - clat)"))
+        .withColumn("pmaxd2", F.col("_mx") * F.col("_mx") + F.col("_my") * F.col("_my"))
+    )
+    # SECOND, per-CENTER tightening (the r5 terminal's dominant-cost fix):
+    # r2pt(P) = k-th smallest pmaxd2 over P's candidate centers. At least
+    # k centers lie within sqrt(r2pt) of EVERY page in P (each of those
+    # k has pmaxd2 <= r2pt), so any center with pmind2 > r2pt can never
+    # enter a top-k — and r2pt <= r2 always (the k cell-bound centers have
+    # pmaxd2 <= r2), so this strictly shrinks the fact-join fanout
+    # (measured 26.8M -> 8.1M candidate pairs on the 50k-center residue:
+    # the cell-level bound pays the full (|d|+1)-cell slack twice, the
+    # point-level bound only the page-cell diagonal once). Same fusion as
+    # r2: row_number + min-over-threshold in one Window stage, filter
+    # inline — the terminal stays fully lazy with ZERO persists.
+    wpt = wcell.orderBy("pmaxd2", "poly_id")
+    tight = (
+        cellcand.withColumn("_rn", F.row_number().over(wpt))
+        .withColumn(
+            "r2pt",
+            F.coalesce(
+                F.min(F.when(F.col("_rn") == k, F.col("pmaxd2"))).over(wcell),
+                F.lit(float("inf")),  # < k candidates total: keep all
+            ),
         )
-        .select("cx", "cy", "poly_id", "clon", "clat", "r2")
+        .filter(F.col("pmind2") <= F.col("r2pt"))
+        .select("cx", "cy", "poly_id", "clon", "clat", F.col("r2pt").alias("r2"))
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     )
     pag_s = pag.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
-    cand = _with_dist2(pag_s.join(cellcand.hint("shuffle_hash"), ["cx", "cy", "_salt"]))
-    # any candidate beyond sqrt(R2) is provably outside the top-k (>= k
-    # candidates sit within R2), so drop it before the sort
+    cand = _with_dist2(pag_s.join(tight.hint("shuffle_hash"), ["cx", "cy", "_salt"]))
+    # any candidate beyond sqrt(r2pt) is provably outside the top-k (>= k
+    # candidates sit within r2pt), so drop it before the sort
     cand = cand.filter(F.col("dist2") <= F.col("r2"))
     wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy("dist2", "poly_id")
     return (
@@ -857,7 +950,8 @@ def knn_join_partitioned(
         n_centers = centers.count()  # table-stats surrogate (see pip_join_auto)
     if cell_deg is None:
         cell_deg = min(KNN_CELL_DEG, max(2.0, (129900.0 / max(n_centers, 1)) ** 0.5))
-    pages = geotagged.select("url", "lat", "lon").persist()
+    pages = geotagged.select("url", "lat", "lon")
+    frames = []
     resolved = []
     remaining = pages
 
@@ -902,49 +996,55 @@ def knn_join_partitioned(
                 "poly_id",
                 "clon",
                 "clat",
-                "_salt",
-                f"{cell % 'clon'} + o.di as cx",
-                f"{cell % 'clat'} + o.dj as cy",
+                "_salt as nsalt",
+                f"{cell % 'clon'} + o.di as ncx",
+                f"{cell % 'clat'} + o.dj as ncy",
             )
         )
-        # pin a shuffle hash join: its output partitioning is
-        # HashPartitioning(cx, cy, _salt), which the windows below reuse.
-        # (A broadcast of the shrinking page side would leave the candidate
-        # stream partitioned by the center scan instead, forcing the
-        # exchange this plan exists to avoid.)
-        cand = pages_c.join(neigh.hint("shuffle_hash"), ["cx", "cy", "_salt"])
-        # provability pre-filter — same argument as knn_join's: only
-        # centers within w can appear in a provable top-k, and pages whose
-        # within-w candidate count is < k fall through to the next level
-        # either way. At coarse widths (the polar-band terminal levels)
-        # this cuts the candidate volume ~10x before any sort.
-        cand = _with_dist2(cand).filter(F.col("dist2") <= F.lit(w * w))
-        # a url carries exactly ONE (cx, cy, _salt) key, so the join's
-        # hash partitioning already co-locates each url's candidates;
-        # windowing by the join keys + url lets Catalyst prove
-        # HashPartitioning(cx, cy, _salt) satisfies the clustered
-        # distribution -> the candidate pairs (billions at coarse levels:
-        # the cascade's dominant data volume) NEVER cross the wire — the
-        # top-k is a within-partition sort, not an exchange.
+        # LEFT OUTER join with the w-ball predicate INSIDE the join
+        # condition — same restructure as knn_join: every page emerges
+        # with its in-ball candidates or one null row, so pass/fail
+        # routing is a filter on the window output instead of a url-keyed
+        # anti-join re-shuffling the whole page table per level. The
+        # shuffle_hash hint pins the join whose output partitioning is
+        # HashPartitioning(cx, cy, _salt): the windows below reuse it, so
+        # the candidate pairs (the cascade's dominant data volume) never
+        # cross the wire — the top-k is a within-partition sort. (A
+        # broadcast of the page side would leave the stream partitioned
+        # by the center scan instead, forcing that exchange.) In-ball in
+        # the join condition is also the provability pre-filter: only
+        # centers within w can appear in a provable top-k.
+        dist2_e = (
+            "((lon - clon) * (lon - clon) + (lat - clat) * (lat - clat))"
+        )
+        cond = F.expr(
+            f"cx = ncx AND cy = ncy AND _salt = nsalt AND {dist2_e} <= {w * w!r}"
+        )
+        cand = pages_c.join(neigh.hint("shuffle_hash"), cond, "left")
+        cand = cand.withColumn("dist2", F.expr(dist2_e))  # null <=> no match
+        # a url carries exactly ONE (cx, cy, _salt) key; windowing by the
+        # join keys + url lets Catalyst prove the join's partitioning
+        # satisfies the clustered distribution -> no extra exchange.
         wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy(
             "dist2", "poly_id"
         )
-        top = cand.withColumn("rank", F.row_number().over(wk)).filter(
-            F.col("rank") <= k
-        )
         wu = Window.partitionBy("cx", "cy", "_salt", "url")
-        top = top.withColumn("_cnt", F.count("*").over(wu)).withColumn(
-            "_maxd", F.max("dist2").over(wu)
-        )
-        good = (
-            top.filter((F.col("_cnt") == k) & (F.col("_maxd") <= F.lit(w * w)))
-            .select("url", "poly_id", "dist2", "rank")
+        split = (
+            cand.withColumn("rank", F.row_number().over(wk))
+            .withColumn("_cnt", F.count("poly_id").over(wu))
+            .filter(F.col("rank") <= k)
+            .select("url", "lat", "lon", "poly_id", "dist2", "rank", "_cnt")
             .persist()
         )
-        resolved.append(good)
-        return remaining.join(
-            good.select("url").distinct(), "url", "left_anti"
-        ).persist()
+        frames.append(split)
+        resolved.append(
+            split.filter(F.col("_cnt") >= k).select(
+                "url", "poly_id", "dist2", "rank"
+            )
+        )
+        return split.filter(
+            (F.col("_cnt") < k) & (F.col("rank") == 1)
+        ).select("url", "lat", "lon")
 
     w = cell_deg
     for m in level_mults:
@@ -962,7 +1062,7 @@ def knn_join_partitioned(
     out = _knn_cell_bound_terminal(remaining, centers, k, term_c, n_salt)
     for good in resolved:
         out = out.unionByName(good)
-    return out
+    return _attach_persists(out, frames)
 
 
 def knn_join_auto(

@@ -53,11 +53,17 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 
 
 def _hash_min_labels(
-    nodes: DataFrame, pairs: DataFrame, max_iters: int
-) -> tuple[DataFrame, bool]:
-    """Hash-min label propagation core: returns ``(labels, converged)``
-    where labels = (doc_id, label) with label = min doc_id reachable IF
-    converged; un-converged labels are partial and must not be used."""
+    nodes: DataFrame, pairs: DataFrame, max_iters: int, keep_pairs: bool = False
+) -> tuple[DataFrame, bool, DataFrame | None]:
+    """Hash-min label propagation core: returns ``(labels, converged,
+    pairs_ck)`` where labels = (doc_id, label) with label = min doc_id
+    reachable IF converged; un-converged labels are partial and must not
+    be used. With ``keep_pairs=True`` the materialized pair-table
+    checkpoint is returned instead of freed, so a caller that must fall
+    back to another algorithm (resolve_components' deep-graph path) can
+    reuse it rather than recompute the entire upstream pair pipeline
+    (LSH + Jaccard verify — the dominant cost); the caller then owns
+    freeing it via _free_local_checkpoint."""
     # Checkpoint the PAIR TABLE first, then build edges from the checkpoint:
     # 1. the two union branches otherwise each recompute the full upstream
     #    pair pipeline (LSH + Jaccard verify) — Spark does not dedup common
@@ -76,7 +82,8 @@ def _hash_min_labels(
         .unionByName(pairs_ck.selectExpr("doc_b as src", "doc_a as dst"))
         .localCheckpoint()
     )
-    _free_local_checkpoint(pairs_ck)
+    if not keep_pairs:
+        _free_local_checkpoint(pairs_ck)
     # localCheckpoint per round truncates lineage: an iterative DataFrame
     # referenced more than once per round otherwise grows a plan DAG whose
     # un-memoized Catalyst traversals go exponential in the round count
@@ -109,7 +116,7 @@ def _hash_min_labels(
     # labels is checkpointed (no lineage into edges), so the edge blocks
     # can be dropped now
     _free_local_checkpoint(edges)
-    return labels, converged
+    return labels, converged, pairs_ck if keep_pairs else None
 
 
 def connected_components(
@@ -117,7 +124,7 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id) nodes + (doc_a, doc_b) undirected pairs ->
     (doc_id, cluster_id, is_keeper); cluster_id = min doc_id reachable."""
-    labels, converged = _hash_min_labels(nodes, pairs, max_iters)
+    labels, converged, _ = _hash_min_labels(nodes, pairs, max_iters)
     if not converged:
         # labels short of fixpoint are WRONG cluster ids (a component with
         # diameter > max_iters keeps multiple labels) — fail loudly rather
@@ -242,14 +249,25 @@ def resolve_components(
 
     Both variants share the exact output contract: (doc_id, cluster_id,
     is_keeper) with cluster_id = min reachable doc_id."""
-    labels, converged = _hash_min_labels(nodes, pairs, hashmin_budget)
+    # keep_pairs: the deep-graph fallback must NOT rebuild the upstream
+    # pair pipeline (LSH + Jaccard verify — the dominant cost) a second
+    # time; it reruns the components algorithm over the already-
+    # materialized pair checkpoint instead.
+    labels, converged, pairs_ck = _hash_min_labels(
+        nodes, pairs, hashmin_budget, keep_pairs=True
+    )
     if converged:
+        _free_local_checkpoint(pairs_ck)
         return labels.selectExpr(
             "doc_id", "label as cluster_id", "doc_id = label as is_keeper"
         )
     # partial labels are wrong cluster ids — free them and switch algorithms
     _free_local_checkpoint(labels)
-    return connected_components_star(nodes, pairs, max_rounds=star_rounds)
+    out = connected_components_star(nodes, pairs_ck, max_rounds=star_rounds)
+    # the star path eagerly checkpointed its own initial edge table from
+    # pairs_ck before returning, so the pair blocks can be dropped now
+    _free_local_checkpoint(pairs_ck)
+    return out
 
 
 def near_dup_clusters_df(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
