@@ -597,6 +597,116 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
     print(json.dumps(summary))
 
 
+def calibration_report() -> None:
+    """Regenerate BENCH/CALIBRATION.md: every magic-number chooser constant
+    next to the measurement that justifies it, re-run under the clearCache
+    protocol by THIS invocation (code-stamped) — so a stale calibration is
+    structurally visible instead of buried in old commit messages (the
+    round-3 BROADCAST_CENTER_LIMIT bug class)."""
+    import time
+
+    from engine.pipeline.session import get_spark
+    from engine.pipeline import fixtures, joins
+
+    spark = get_spark(
+        master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS, app_name="calib"
+    )
+    spark.range(1000).count()
+    geo = fixtures.geotag_df(fixtures.pages_df(spark, SF_DIR))
+
+    def best_of(builder, n=2):
+        best = float("inf")
+        for _ in range(n):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = builder()
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            joins.free_persisted(out)
+        return best
+
+    knn_rows = []
+    for n in (10_000, 50_000, 100_000, 200_000, 500_000):
+        centers = fixtures.polygon_centers_table_bulk(spark, n)
+        hyb = best_of(lambda: joins.knn_join(geo, centers, k=3, n_centers=n))
+        part = best_of(
+            lambda: joins.knn_join_partitioned(geo, centers, k=3, n_centers=n)
+        )
+        auto = "hybrid" if n <= joins.BROADCAST_CENTER_LIMIT else "partitioned"
+        ok = (hyb <= part) == (auto == "hybrid")
+        knn_rows.append(
+            f"| {n} | {hyb:.2f} | {part:.2f} | {auto} | {'yes' if ok else 'NO'} |"
+        )
+
+    pip_rows = []
+    for n, grid, mep in ((50_000, 2.0, 8), (1_000_000, 0.5, 8)):
+        edges = (
+            fixtures.polygon_edges_table(spark, n)
+            if n <= 50_000
+            else fixtures.polygon_edges_table_bulk(spark, n)
+        )
+        bc = best_of(lambda: joins.pip_join(geo, edges, grid_deg=grid))
+        part = best_of(
+            lambda: joins.pip_join_partitioned(
+                geo, edges, grid_deg=grid, max_edges_per_poly=mep
+            )
+        )
+        n_edges = n * 7  # ~avg edges/poly in both fixtures
+        auto = (
+            "broadcast" if n_edges <= joins.BROADCAST_EDGE_LIMIT else "partitioned"
+        )
+        ok = (bc <= part) == (auto == "broadcast")
+        pip_rows.append(
+            f"| {n} polys (~{n_edges} edges) | {bc:.2f} | {part:.2f} | {auto} | {'yes' if ok else 'NO'} |"
+        )
+
+    lines = [
+        "# CALIBRATION — chooser constants and their evidence",
+        "",
+        f"Regenerated by `python bench.py --calibration` at `local[{CPUS}]`,",
+        f"sf dir `{SF_DIR}`, code `{_code_stamp()}`. All timings best-of-2",
+        "under the clearCache protocol (fresh plan per pass, caches dropped",
+        "between passes).",
+        "",
+        "## Constants (engine/pipeline/joins.py)",
+        "",
+        "| constant | value | role |",
+        "|---|---|---|",
+        f"| BROADCAST_EDGE_LIMIT | {joins.BROADCAST_EDGE_LIMIT} | pip_join_auto: broadcast vs partitioned |",
+        f"| BROADCAST_CENTER_LIMIT | {joins.BROADCAST_CENTER_LIMIT} | knn_join_auto: hybrid vs partitioned |",
+        f"| PIP_GRID_DEG | {joins.PIP_GRID_DEG} | PIP candidate-grid ceiling (pip_grid_deg adapts by edge count) |",
+        f"| KNN_CELL_DEG | {joins.KNN_CELL_DEG} | kNN cell-width ceiling (density formula adapts by center count) |",
+        f"| EDGE_SALT_EDGES_PER_POLY | {joins.EDGE_SALT_EDGES_PER_POLY} | selective mega-polygon salting threshold |",
+        "",
+        "## kNN: hybrid (broadcast + numpy residue) vs partitioned cascade",
+        "",
+        "Bulk center fixture (uniform over the +-60 lat band), sf0.1 pages.",
+        "The auto chooser must route each row to the measured-faster plan.",
+        "",
+        "| centers | hybrid s | partitioned s | auto picks | auto correct? |",
+        "|---|---|---|---|---|",
+        *knn_rows,
+        "",
+        "## PIP: broadcast vs partitioned",
+        "",
+        "| dimension side | broadcast s | partitioned s | auto picks | auto correct? |",
+        "|---|---|---|---|---|",
+        *pip_rows,
+        "",
+        "Notes: the kNN hybrid's cost is driver-collect + O(residue x",
+        "centers) matmul, so it crosses over between 100k and 200k centers;",
+        "the width formula's 2.0-degree floor was probed as a secondary",
+        "effect (adaptive width helps only past ~500k centers and hurts at",
+        "200k, so the floor stands). A `NO` in the last column = stale",
+        "constant; recalibrate before shipping.",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/CALIBRATION.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+    print("wrote BENCH/CALIBRATION.md")
+
+
 def plan_report() -> None:
     """Dump .explain('formatted') of the headline queries to BENCH/PLANS.md
     with the scale-relevant properties called out — the plan-shape audit
@@ -671,6 +781,9 @@ def main() -> None:
         return
     if "--plans" in sys.argv:
         plan_report()
+        return
+    if "--calibration" in sys.argv:
+        calibration_report()
         return
     case_filter = None
     if "--cases" in sys.argv:

@@ -396,6 +396,33 @@ def polygon_edges_bulk_np(
     )
 
 
+def polygon_centers_table_bulk(spark, n_polys: int, seed: int = 43):
+    """Vectorized bulk center table (poly_id, name, clon, clat) with the
+    same spatial distribution as polygon_edges_bulk_np — for the kNN
+    broadcast-vs-partitioned crossover calibration at center counts the
+    per-poly Python generator cannot reach (10^5-10^6). Bench-only
+    fixture; no oracle twin."""
+    import pandas as pd
+
+    path = f"{FIXTURE_CACHE}/poly_centers_bulk_{n_polys}_{EDGE_FIXTURE_VERSION}.parquet"
+
+    def build():
+        rng = np.random.default_rng(seed)
+        clat = rng.uniform(-60, 60, n_polys)
+        clon = rng.uniform(-170, 170, n_polys)
+        ids = np.arange(n_polys, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "poly_id": ids,
+                "name": np.char.add("poly_", ids.astype(str)),
+                "clon": np.round(clon, 6),
+                "clat": np.round(clat, 6),
+            }
+        )
+
+    return _cached_parquet(spark, path, build)
+
+
 def polygon_edges_table_bulk(
     spark, n_polys: int, r_lo: float = 0.05, r_hi: float = 0.4
 ):

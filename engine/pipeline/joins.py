@@ -231,11 +231,16 @@ def pip_join_numpy(
 # in-sandbox the broadcast PIP plan also keeps winning through ~400k edges
 # (its second join stays map-side — candidates never hit an exchange) and
 # loses by 1M-polygon scale (bench pip_join_1m_*). Centers: the hybrid kNN
-# collects the center table to the driver and matmuls against ALL of it in
-# the residue kernel — measured losing to the partitioned cascade well
-# before 50k centers, so the cutover is much lower.
+# collects the center table to the driver and matmuls the residue pages
+# against ALL of it, so it loses once the O(residue x n_centers) kernel
+# outgrows the partitioned path's density-bounded candidate join —
+# measured crossover between 100k and 200k centers under the clearCache
+# protocol (BENCH/CALIBRATION.md, `python bench.py --calibration`):
+# hybrid 10.2s vs 10.8s at 100k, 20.4s vs 14.8s at 200k (local[32],
+# sf0.1). 150k centers is also comfortably a broadcast/collect-sized
+# dimension side (~6 MB).
 BROADCAST_EDGE_LIMIT = 2_000_000
-BROADCAST_CENTER_LIMIT = 10_000
+BROADCAST_CENTER_LIMIT = 150_000
 
 
 # a polygon with this many edges concentrates its candidates x edges join
@@ -392,6 +397,9 @@ def pip_join_auto(
     max_edges_per_poly: int | None = None,
 ) -> DataFrame:
     """Size-based chooser between the broadcast and partitioned PIP plans.
+    BROADCAST_EDGE_LIMIT is calibrated by `python bench.py --calibration`
+    (BENCH/CALIBRATION.md) — regenerate after touching either plan.
+
 
     ``n_edges`` / ``max_edges_per_poly`` are polygon-side stats — at real
     scale they come from table metadata (Iceberg snapshot stats + a
@@ -511,14 +519,14 @@ def _attach_persists(out: DataFrame, frames) -> DataFrame:
     return out
 
 
-def free_persisted(out: DataFrame) -> None:
+def free_persisted(out: DataFrame, blocking: bool = False) -> None:
     """Drop the block-manager storage a kNN cascade output persisted, once
     the caller's terminal action has run. Never destructive: these are
     cache-manager persists, not checkpoints — a later action on ``out``
     recomputes them from lineage. Idempotent; no-op on untagged frames."""
     for f in getattr(out, "_graft_persists", ()):
         try:
-            f.unpersist(False)
+            f.unpersist(blocking)
         except Exception:  # best-effort on teardown / Connect backends
             pass
     out._graft_persists = []
@@ -1072,7 +1080,10 @@ def knn_join_auto(
     n_centers: int | None = None,
 ) -> DataFrame:
     """Size-based chooser between the broadcast-hybrid and partitioned kNN
-    plans (same contract as pip_join_auto)."""
+    plans (same contract as pip_join_auto). BROADCAST_CENTER_LIMIT is
+    calibrated by `python bench.py --calibration` (BENCH/CALIBRATION.md:
+    the hybrid/partitioned sweep at 10k-500k centers) — regenerate after
+    touching either plan."""
     if n_centers is None:
         n_centers = centers.count()
     if n_centers <= BROADCAST_CENTER_LIMIT:

@@ -188,3 +188,27 @@ def test_topk_two_phase_equals_topk(spark):
         )
     )
     assert a == b and len(a) == 300
+
+
+def _cached_rdd_ids(spark):
+    sc = spark.sparkContext._jsc.sc()
+    return {info.id() for info in sc.getRDDStorageInfo()}
+
+
+@pytest.mark.parametrize("fn", [joins.knn_join, joins.knn_join_partitioned])
+def test_knn_free_persisted_cleans_storage(spark, fn):
+    """The cascades persist per-level split tables whose lifetime is the
+    query; free_persisted must drop every one of them after the caller's
+    terminal action, so repeated kNN calls in a long-lived session do not
+    accumulate block-manager storage. Proof style: getRDDStorageInfo
+    before/after, as in engine.textops.cluster's checkpoint discipline."""
+    pages, centers = _polar_cluster(spark, n_pages=150)
+    base = _cached_rdd_ids(spark)
+    out = fn(pages, centers, k=3, cell_deg=2.0)
+    out.write.format("noop").mode("overwrite").save()
+    during = _cached_rdd_ids(spark) - base
+    assert during, "cascade should persist its per-level split tables"
+    joins.free_persisted(out, blocking=True)
+    assert _cached_rdd_ids(spark) - base == set(), (
+        "free_persisted must drop every cascade-persisted block"
+    )
