@@ -68,7 +68,15 @@ def _global_tag_codes(
     uniques: list[tuple] = []
     for j, key in enumerate(keys):
         vtype, arr = tag_columns[key]
-        codes, uniqs = pd.factorize(np.asarray(arr), use_na_sentinel=False)
+        if isinstance(arr, tuple):
+            # pre-factorized column (codes, unique values) — the Arrow
+            # path dictionary-encodes in C++ and never materializes a
+            # per-row Python object array. Code order is arbitrary here:
+            # callers re-rank to first-seen, so bytes are unchanged.
+            codes, uniqs = arr
+            codes = np.asarray(codes, dtype=np.int64)
+        else:
+            codes, uniqs = pd.factorize(np.asarray(arr), use_na_sentinel=False)
         remap = np.empty(len(uniqs), dtype=np.int64)
         for li, v in enumerate(uniqs):
             k2 = (vtype, v)
@@ -394,6 +402,29 @@ def encode_point_tiles_sorted(
     first-seen tag dictionary is reproduced batch-wide via a grouped
     first-occurrence ranking instead of per-tile factorize.
     """
+    buf, tile_starts, tile_total = encode_point_tiles_sorted_raw(
+        counts, fids, px, py, tag_columns, layer_name, extent
+    )
+    mem = buf.tobytes()
+    tile_ends = (tile_starts + tile_total).tolist()
+    return [mem[s:e] for s, e in zip(tile_starts.tolist(), tile_ends)]
+
+
+def encode_point_tiles_sorted_raw(
+    counts: np.ndarray,
+    fids: np.ndarray | None,
+    px: np.ndarray,
+    py: np.ndarray,
+    tag_columns: dict[str, tuple[str, np.ndarray]] | None,
+    layer_name: str,
+    extent: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """encode_point_tiles_sorted without the per-tile bytes slicing:
+    returns ``(buf, tile_starts, tile_total)`` — ONE flat uint8 buffer plus
+    each tile's offset/length, exactly what an Arrow BinaryArray needs
+    (offsets + values buffer). The list-of-bytes wrapper above allocates
+    n_tiles Python objects + a full copy; the Arrow encode path skips both.
+    """
     counts = np.asarray(counts, dtype=np.int64)
     n_tiles = len(counts)
     fb = encode_point_features_sorted(counts, fids, px, py, tag_columns)
@@ -446,6 +477,4 @@ def encode_point_tiles_sorted(
     cur = cur + vlen
     buf[cur[:, None] + np.arange(len(tail_arr))[None, :]] = tail_arr[None, :]
 
-    mem = buf.tobytes()
-    tile_ends = (tile_starts + tile_total).tolist()
-    return [mem[s:e] for s, e in zip(tile_starts.tolist(), tile_ends)]
+    return buf, tile_starts, tile_total

@@ -108,6 +108,170 @@ def _encode_batch(
     )
 
 
+def _encode_batch_gid(
+    pdf: pd.DataFrame,
+    layer_name: str,
+    tag_cols,
+    extent: int,
+) -> pd.DataFrame:
+    """_encode_batch for the compact path's packed-gid input: (gid, qx, qy,
+    feature_id, tags...) with gid = (z << 52) | (x << 26) | y and qx/qy
+    already quantized JVM-side — no per-batch numpy reconstruction, no
+    frame copy, single-column group bounds."""
+    starts = _group_bounds(pdf, ("gid",))
+    counts = np.diff(np.append(starts, len(pdf)))
+    tags = {
+        col: (vt, pdf[col].to_numpy(dtype=object if vt == "string" else None))
+        for col, vt in tag_cols
+    }
+    blobs = fastpoints.encode_point_tiles_sorted(
+        counts,
+        pdf["feature_id"].to_numpy(dtype=np.int64),
+        pdf["qx"].to_numpy(dtype=np.int64),
+        pdf["qy"].to_numpy(dtype=np.int64),
+        tags,
+        layer_name,
+        extent,
+    )
+    gid = pdf["gid"].to_numpy()[starts]
+    mask = (1 << 26) - 1
+    return pd.DataFrame(
+        {
+            "z": pd.array((gid >> 52).astype(np.int32), dtype="int32"),
+            "x": (gid >> 26) & mask,
+            "y": gid & mask,
+            "mvt": blobs,
+            "n_features": counts,
+            "n_bytes": [len(b) for b in blobs],
+        }
+    )
+
+
+def _gid_bounds(gid: np.ndarray) -> np.ndarray:
+    """Start offsets of each gid run in a pre-sorted int64 array."""
+    change = np.empty(len(gid), dtype=bool)
+    change[0] = True
+    np.not_equal(gid[1:], gid[:-1], out=change[1:])
+    return np.flatnonzero(change)
+
+
+def _encode_group_arrow(cols, layer_name, tag_cols, extent):
+    """Arrow-native tile encode for one-or-more COMPLETE gid groups.
+
+    ``cols``: numpy int64 arrays for gid/qx/qy/feature_id, pyarrow arrays
+    for tag columns. No pandas frame, no per-row Python objects anywhere:
+    string tags dictionary-encode in Arrow C++ (codes + a tiny unique
+    list), and the output binary column is built straight from the
+    encoder's flat buffer + offsets (encode_point_tiles_sorted_raw) — the
+    pandas path allocated one Python str per row and one bytes object per
+    tile, which dominated the encode stage's worker-side allocation churn
+    on fault-limited hosts."""
+    import pyarrow as pa
+
+    gid = cols["gid"]
+    starts = _gid_bounds(gid)
+    counts = np.diff(np.append(starts, len(gid)))
+    tags = {}
+    for c, vt in tag_cols:
+        arr = cols[c]
+        if isinstance(arr, np.ndarray):
+            tags[c] = (vt, arr)
+        elif vt == "string":
+            d = arr.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tags[c] = (vt, (codes, d.dictionary.to_pylist()))
+        else:
+            tags[c] = (vt, arr.to_numpy(zero_copy_only=False))
+    buf, tstarts, ttotal = fastpoints.encode_point_tiles_sorted_raw(
+        counts,
+        cols["feature_id"],
+        cols["qx"],
+        cols["qy"],
+        tags,
+        layer_name,
+        extent,
+    )
+    n_tiles = len(tstarts)
+    offsets = np.empty(n_tiles + 1, dtype=np.int32)
+    offsets[:-1] = tstarts
+    offsets[-1] = len(buf)
+    mvt = pa.Array.from_buffers(
+        pa.binary(), n_tiles, [None, pa.py_buffer(offsets), pa.py_buffer(buf)]
+    )
+    g = gid[starts]
+    mask = (1 << 26) - 1
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array((g >> 52).astype(np.int32), type=pa.int32()),
+            pa.array((g >> 26) & mask, type=pa.int64()),
+            pa.array(g & mask, type=pa.int64()),
+            mvt,
+            pa.array(counts, type=pa.int64()),
+            pa.array(ttotal.astype(np.int64), type=pa.int64()),
+        ],
+        names=["z", "x", "y", "mvt", "n_features", "n_bytes"],
+    )
+
+
+def carry_group_iter_arrow(batches, encode_fn, tag_names: frozenset):
+    """carry_group_iter for mapInArrow: same complete-group contract and
+    O(1) mega-group concat, but operating on numpy/pyarrow columns —
+    pandas never enters the worker."""
+    import pyarrow as pa
+
+    def to_cols(rb):
+        return {
+            name: (
+                rb.column(i)
+                if name in tag_names
+                else rb.column(i).to_numpy()
+            )
+            for i, name in enumerate(rb.schema.names)
+        }
+
+    def slice_cols(cols, s, e):
+        return {
+            k: v[s:e] if isinstance(v, np.ndarray) else v.slice(s, e - s)
+            for k, v in cols.items()
+        }
+
+    def concat_cols(parts):
+        if len(parts) == 1:
+            return parts[0]
+        return {
+            k: (
+                np.concatenate([p[k] for p in parts])
+                if isinstance(parts[0][k], np.ndarray)
+                else pa.chunked_array([p[k] for p in parts]).combine_chunks()
+            )
+            for k in parts[0]
+        }
+
+    pend = []
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        cols = to_cols(rb)
+        gid = cols["gid"]
+        starts = _gid_bounds(gid)
+        tail = int(starts[-1])
+        body_start = 0
+        if pend:
+            if pend[-1]["gid"][-1] == gid[0]:
+                if len(starts) == 1:
+                    pend.append(cols)  # batch is one group: keep carrying
+                    continue
+                body_start = int(starts[1])
+                pend.append(slice_cols(cols, 0, body_start))
+            yield encode_fn(concat_cols(pend))
+            pend = []
+        if tail > body_start:
+            yield encode_fn(slice_cols(cols, body_start, tail))
+        pend.append(slice_cols(cols, tail, len(gid)))
+    if pend:
+        yield encode_fn(concat_cols(pend))
+
+
 def carry_group_iter(
     batches: Iterator[pd.DataFrame], encode_fn, cols: tuple[str, ...] = GROUP_COLS
 ) -> Iterator[pd.DataFrame]:
@@ -241,6 +405,8 @@ def encode_point_tiles_compact(
     at 100 TB that shuffle is the pipeline's bottleneck, so the saving
     scales 1:1.
     """
+    if not 0 <= z_min <= z_max <= 25:
+        raise ValueError("gid packing supports zoom levels 0..25")
     tag_cols = tuple(tag_cols)
     zoomed = df.withColumn("z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max))))
     cols = ["z", "u", "v", "feature_id"] + [c for c, _ in tag_cols]
@@ -256,14 +422,45 @@ def encode_point_tiles_compact(
     n_parts = encode_shuffle_partitions(df.sparkSession)
     parted = zoomed.select(*cols).repartition(n_parts, F.col("z"), xe, ye)
     prepared = parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
+    # Post-shuffle, post-sort JVM projection (same stage, whole-stage
+    # codegen): the derived columns reconstruct from (z, u, v) with the
+    # same IEEE double math the Python stage used to do per batch — and
+    # the Python workers now receive (gid, qx, qy, fid, tags) instead of
+    # (z, u, v, fid, tags) + per-batch numpy reconstruction + a full-frame
+    # pdf.assign copy. Exactness: scale = 2^z * 4096 = 2^(z+12) and
+    # x * 4096 are EXACT doubles, so qx/qy round identically to numpy's
+    # u * scale - x * 4096.0; cast(double as long/int) truncates toward
+    # zero exactly like mvtcodec.geomstream.quantize (non-ANSI Spark cast
+    # == Go's int32() cast, reference marshal.go:190,196). gid packs
+    # (z, x, y) into one int64 (26-bit x/y fields, lexicographic ==
+    # numeric order), halving the python-side group-bound scan columns.
+    # Byte-identity with encode_point_tiles is asserted in
+    # tests/test_tiler_compact.py.
+    scale_e = "(cast(shiftleft(1, z) as double) * 4096.0D)"
+    qx_e = f"cast(u * {scale_e} - cast(_x as double) * 4096.0D as long)"
+    qy_e = f"cast(v * {scale_e} - cast(_y as double) * 4096.0D as long)"
+    projected = (
+        prepared.withColumn("_x", xe)
+        .withColumn("_y", ye)
+        .selectExpr(
+            "shiftleft(cast(z as bigint), 52) + shiftleft(_x, 26) + _y as gid",
+            f"{qx_e} as qx",
+            f"{qy_e} as qy",
+            "feature_id",
+            *[c for c, _ in tag_cols],
+        )
+    )
 
-    def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return carry_group_iter(
-            (_augment_uv(pdf, extent) for pdf in batches),
-            lambda pdf: _encode_batch(pdf, layer_name, tag_cols, extent),
+    tag_names = frozenset(c for c, _ in tag_cols)
+
+    def encode_iter(batches):
+        return carry_group_iter_arrow(
+            batches,
+            lambda cols: _encode_group_arrow(cols, layer_name, tag_cols, extent),
+            tag_names,
         )
 
-    encoded = prepared.mapInPandas(encode_iter, ENCODE_SCHEMA)
+    encoded = projected.mapInArrow(encode_iter, ENCODE_SCHEMA)
     return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
 
 
