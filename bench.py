@@ -680,6 +680,15 @@ def scaling_report(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
         "  scaling and the 8->32 pair mostly measures the ceiling; the plans",
         "  shuffle once, broadcast the dimension side, and keep Python",
         "  vectorized, so the ceiling does not apply on real executors.",
+        "- mvt_combined_tiles' historical 4.5-13s spread is the same ceiling",
+        "  at stage granularity: its salted-partial encode runs ~2.3s",
+        "  steady-state but 7-8s on a session's FIRST pass (32 Python",
+        "  workers established concurrently, each first-touch faulting its",
+        "  numpy/Arrow arena through the host-serialized fault path), so a",
+        "  run's position in the case sequence decides which side of the",
+        "  spread it lands on. The partials now run the same pandas-free",
+        "  mapInArrow path as the pyramid encode, cutting both the",
+        "  steady-state (~30%) and the cold premium.",
         "",
         "Raw JSON (one line per scaling RUN, git-stamped):",
         "```json",

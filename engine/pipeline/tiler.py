@@ -539,11 +539,14 @@ def encode_point_partials_compact(
 ) -> DataFrame:
     """Shuffle-lean stage 1: like encode_point_partials but ``df`` carries
     (u, v, feature_id, tags) and only those ride the salted tile shuffle —
-    (x, y, px, py) reconstruct post-shuffle (_augment_uv), the same byte
-    cut as encode_point_tiles_compact applied to the salted path."""
+    the derived columns reconstruct POST-shuffle in JVM codegen and the
+    workers run the same pandas-free Arrow path as the compact tile
+    encoder: (gid, qx, qy, fid, tags) in, with the salt packed into gid's
+    top bits (grouping is equality-based, so any contiguous total order
+    works; within-group sort by feature_id is what fixes the bytes)."""
+    if not 0 <= z_min <= z_max <= 25 or not 1 <= n_salt <= 64:
+        raise ValueError("gid packing supports z 0..25, n_salt 1..64")
     tag_cols = tuple(tag_cols)
-    gcols = ("z", "x", "y", "_salt")
-    encode_partial_batch = _make_partial_encoder(tag_cols)
     zoomed = df.withColumn(
         "z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max)))
     ).withColumn("_salt", _zoom_salt_expr(n_salt))
@@ -553,11 +556,101 @@ def encode_point_partials_compact(
     prepared = parted.sortWithinPartitions(
         F.col("z"), xe, ye, F.col("_salt"), F.col("feature_id")
     )
-    return prepared.mapInPandas(
-        lambda b: carry_group_iter(
-            (_augment_uv(pdf, extent) for pdf in b), encode_partial_batch, gcols
-        ),
-        PARTIAL_SCHEMA,
+    scale_e = "(cast(shiftleft(1, z) as double) * 4096.0D)"
+    qx_e = f"cast(u * {scale_e} - cast(_x as double) * 4096.0D as long)"
+    qy_e = f"cast(v * {scale_e} - cast(_y as double) * 4096.0D as long)"
+    projected = (
+        prepared.withColumn("_x", xe)
+        .withColumn("_y", ye)
+        .selectExpr(
+            "shiftleft(_salt, 57) + shiftleft(cast(z as bigint), 52)"
+            " + shiftleft(_x, 26) + _y as gid",
+            f"{qx_e} as qx",
+            f"{qy_e} as qy",
+            "feature_id",
+            *[c for c, _ in tag_cols],
+        )
+    )
+    tag_names = frozenset(c for c, _ in tag_cols)
+
+    def encode_iter(batches):
+        return carry_group_iter_arrow(
+            batches,
+            lambda c: _encode_partials_group_arrow(c, tag_cols),
+            tag_names,
+        )
+
+    return projected.mapInArrow(encode_iter, PARTIAL_SCHEMA)
+
+
+def _encode_partials_group_arrow(cols, tag_cols):
+    """Arrow-native partial encode for one-or-more COMPLETE (salt-packed)
+    gid groups — the partial-row twin of _encode_group_arrow: numpy ints
+    in, tag strings dictionary-encoded in Arrow C++, PARTIAL_SCHEMA
+    RecordBatch out (per-group byte columns; the group count is tens of
+    rows at z0-3, so the per-group Python loop is not a hot path)."""
+    import pyarrow as pa
+
+    gid = cols["gid"]
+    starts = _gid_bounds(gid)
+    counts = np.diff(np.append(starts, len(gid)))
+    tags = {}
+    for c, vt in tag_cols:
+        arr = cols[c]
+        if isinstance(arr, np.ndarray):
+            tags[c] = (vt, arr)
+        elif vt == "string":
+            d = arr.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tags[c] = (vt, (codes, d.dictionary.to_pylist()))
+        else:
+            tags[c] = (vt, arr.to_numpy(zero_copy_only=False))
+    fids = cols["feature_id"]
+    fb = fastpoints.encode_point_features_sorted(
+        counts, fids, cols["qx"], cols["qy"], tags
+    )
+    feat_len = fb["feat_len"]
+    b_off = np.concatenate([[0], np.cumsum(feat_len)])
+    block = fb["block"].tobytes()
+    vblob = fb["vblob"].tobytes()
+    e_bounds = fb["e_bounds"]
+    entry_lens = fb["entry_lens"]
+    ends = np.append(starts[1:], len(gid))
+    g = gid[starts]
+    mask26 = (1 << 26) - 1
+    fids64 = np.asarray(fids, dtype=np.int64)
+    out = {k: [] for k in (
+        "fids", "block", "feat_len", "glen", "vcode", "dict_blob", "dict_lens"
+    )}
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        out["fids"].append(fids64[s:e].tobytes())
+        out["block"].append(block[b_off[s] : b_off[e]])
+        out["feat_len"].append(feat_len[s:e].astype(np.int32).tobytes())
+        out["glen"].append(fb["glen"][s:e].astype(np.int32).tobytes())
+        out["vcode"].append(fb["vcode"][s:e].astype(np.int32).tobytes())
+        out["dict_blob"].append(
+            vblob[fb["vstart"][i] : fb["vstart"][i] + fb["vlen"][i]]
+        )
+        out["dict_lens"].append(
+            entry_lens[e_bounds[i] : e_bounds[i + 1]].astype(np.int32).tobytes()
+        )
+    n = len(starts)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(((g >> 52) & 31).astype(np.int32), type=pa.int32()),
+            pa.array((g >> 26) & mask26, type=pa.int64()),
+            pa.array(g & mask26, type=pa.int64()),
+            pa.array(counts, type=pa.int64()),
+            *[pa.array(out[k], type=pa.binary()) for k in (
+                "fids", "block", "feat_len", "glen", "vcode",
+                "dict_blob", "dict_lens",
+            )],
+            pa.nulls(n, pa.binary()),
+        ],
+        names=[
+            "z", "x", "y", "n_features", "fids", "block", "feat_len",
+            "glen", "vcode", "dict_blob", "dict_lens", "mvt",
+        ],
     )
 
 
