@@ -964,6 +964,63 @@ def q_mvt_multipart_sql(sf_dir):
     return multipart.multipart_stats_sql(sf_dir, 2, 4)
 
 
+def q_mvt_raw_passthrough(spark, sf_dir):
+    """§2.A #9/#25/#42 driver coverage — RawShape/UNKNOWN passthrough
+    (reference internal/geometry/raw.go:10-30, marshal.go:40-42,
+    unmarshal.go:48-49): deterministic raw []uint32 command words derived
+    from doc_id are injected as UNKNOWN-geometry features, encoded into
+    16 tiles, decoded back with the engine reader, and the round-tripped
+    words reduced per doc to (n_words, words_sum) vs the closed-form
+    oracle — any word mutated anywhere in the encode/decode path moves
+    the sum. Verification query: the per-feature Python loop is bounded
+    by the doc count and never a production path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "cast(doc_id % 16 as int) as tile"
+    )
+
+    def tile_roundtrip(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from engine import mvtcodec as mc
+
+        feats = []
+        for did in sorted(int(d) for d in pdf["doc_id"].to_numpy()):
+            n_w = 1 + did % 5
+            words = [
+                (did * 2654435761 + j * 40503) % 4294967296 for j in range(n_w)
+            ]
+            gt, geom = mc.encode("RawShape", words)
+            feats.append(
+                {"id": did, "tags": [], "geom_type": gt, "geometry": geom}
+            )
+        data = mc.encode_tile({"raw": {"extent": 4096, "features": feats}})
+        rows = []
+        for f in mc.decode_tile(data)["raw"]["features"]:
+            kind, words = mc.decode(f["geometry"], f["geom_type"])
+            if kind != "RawShape":
+                raise ValueError(f"expected RawShape, got {kind}")
+            w = np.asarray(words, dtype=np.int64)
+            rows.append((int(f["id"]), int(len(w)), int(w.sum())))
+        return pd.DataFrame(rows, columns=["doc_id", "n_words", "words_sum"])
+
+    return docs.groupBy("tile").applyInPandas(
+        tile_roundtrip, "doc_id long, n_words int, words_sum long"
+    )
+
+
+def q_mvt_raw_passthrough_sql(sf_dir):
+    return """
+WITH idx AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 5)) AS j FROM documents),
+w AS (
+  SELECT doc_id, (doc_id * 2654435761 + j * 40503) % 4294967296 AS word
+  FROM idx)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(word) AS BIGINT) AS words_sum
+FROM w GROUP BY doc_id"""
+
+
 def q_mvt_polygon_coords(spark, sf_dir):
     """B16 coordinate-exact for the polygon layer: decoded quantized
     exterior-ring vertex sets + |area2| per (tile, feature) vs the clip
@@ -1106,8 +1163,24 @@ FROM cnt JOIN rt ON cnt.grid_row = rt.grid_row AND cnt.grid_col = rt.grid_col"""
 # folded into single tagged-union rows (q_*_variants) so every code path
 # still gets a driver-hashed row while the registry stays under the window
 # with headroom.
+def q_lang_quality(spark, sf_dir):
+    """lang_id + quality_score folded into ONE driver row (joined on
+    doc_id, like q_text_metrics) so the registry stays inside the
+    driver's 50-row check window while mvt_raw_passthrough joins the
+    front; both operators keep full per-value hash coverage."""
+    return q_lang_id(spark, sf_dir).join(q_quality(spark, sf_dir), "doc_id")
+
+
+def q_lang_quality_sql(sf_dir):
+    return f"""
+WITH _l AS ({q_lang_id_sql(sf_dir)}),
+_q AS ({q_quality_sql(sf_dir)})
+SELECT _l.*, _q.* EXCLUDE (doc_id) FROM _l JOIN _q USING (doc_id)"""
+
+
 REGISTRY: dict[str, tuple] = {
     # -- never-driver-checked (r3 overflow) + new this round: FIRST --
+    "mvt_raw_passthrough": (q_mvt_raw_passthrough, q_mvt_raw_passthrough_sql),
     "mvt_outline_coords": (q_mvt_outline_coords, q_mvt_outline_coords_sql),
     "mvt_multipart_tiles": (q_mvt_multipart, q_mvt_multipart_sql),
     "corpus_prep": (q_corpus_prep, q_corpus_prep_sql),
@@ -1158,6 +1231,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, q_ann_lsh_topk_sql),
     "ann_ivf_topk": (q_ann_ivf, q_ann_ivf_sql),
     "embedding_near_dup": (q_emb_near_dup, q_emb_near_dup_sql),
-    "lang_id": (q_lang_id, q_lang_id_sql),
-    "quality_score": (q_quality, q_quality_sql),
+    "lang_quality": (q_lang_quality, q_lang_quality_sql),
 }
