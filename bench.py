@@ -850,12 +850,13 @@ def plan_report() -> None:
         "point is the plan never REQUIRES a broadcastable dimension side or "
         "a driver collect.",
         "mvt_pyramid_z0_14": "exactly one wide dependency: repartition on "
-        "(z, x-expr, y-expr) + sortWithinPartitions feeding the vectorized "
-        "encode mapInPandas; only (z,u,v,fid,lang) ride the shuffle (compact "
-        "encoder) — derived columns reconstruct post-shuffle; feature_id "
-        "sha2 computed BEFORE the x15 zoom explode. Arrow batches are 16k "
-        "rows so the encode workers' per-batch working set stays inside the "
-        "first batch's already-faulted arena (BENCH/encode_probe.py).",
+        "(z, x-expr, y-expr) + sortWithinPartitions feeding the pandas-free "
+        "mapInArrow encode; only (z,u,v,fid,lang) ride the shuffle (compact "
+        "encoder) — the (gid, qx, qy) projection reconstructs post-shuffle "
+        "in whole-stage codegen; feature_id sha2 computed BEFORE the x15 "
+        "zoom explode. Arrow batches are 16k rows so the encode workers' "
+        "per-batch working set stays inside the first batch's already-"
+        "faulted arena (BENCH/encode_probe.py).",
         "media_dims": "pure-codegen media header parse: the binary column, "
         "hex/substring/conv/position all inside one WholeStageCodegen span "
         "over the scan — no UDF, no shuffle, column-pruned read.",
