@@ -233,14 +233,33 @@ def pip_join_numpy(
 # loses by 1M-polygon scale (bench pip_join_1m_*). Centers: the hybrid kNN
 # collects the center table to the driver and matmuls the residue pages
 # against ALL of it, so it loses once the O(residue x n_centers) kernel
-# outgrows the partitioned path's density-bounded candidate join —
-# measured crossover between 100k and 200k centers under the clearCache
-# protocol (BENCH/CALIBRATION.md, `python bench.py --calibration`):
-# hybrid 10.2s vs 10.8s at 100k, 20.4s vs 14.8s at 200k (local[32],
-# sf0.1). 150k centers is also comfortably a broadcast/collect-sized
-# dimension side (~6 MB).
+# outgrows the partitioned path's density-bounded candidate join. The
+# crossover is PARALLELISM-DEPENDENT: the hybrid's matmul wall-time is
+# ~ n_centers / cores (it parallelizes near-perfectly), while the
+# partitioned cascade is stage-count-bound and nearly flat in cores
+# (measured at 50k centers: 8.1s@local[8] vs 9.3s@local[32]) — so the
+# crossover moves ~linearly with cores. Measured windows under the
+# clearCache protocol (BENCH/CALIBRATION.md, `python bench.py
+# --calibration`, sf0.1): crossover in (50k, ~120k] at local[32]
+# (hybrid clearly wins 50k, 6.3s vs 9.6s; 100k straddles run-to-run,
+# 10.1s vs 10.8s then 11.6s vs 9.9s; 200k clearly partitioned) and in
+# (10k, 50k] at local[8] (4.2s vs 6.9s at 10k, 10.0s vs 8.1s at 50k) —
+# 3k centers/core sits inside both windows. The cap bounds the hybrid's
+# driver collect + broadcast (~40 B/center -> ~80 MB at 2M), the real
+# ceiling once a cluster's core count stops being the binding
+# constraint.
 BROADCAST_EDGE_LIMIT = 2_000_000
-BROADCAST_CENTER_LIMIT = 150_000
+BROADCAST_CENTER_LIMIT_PER_CORE = 3_000
+BROADCAST_CENTER_COLLECT_CAP = 2_000_000
+
+
+def broadcast_center_limit(spark) -> int:
+    """Largest center-table size knn_join_auto routes to the broadcast-
+    hybrid plan at this session's parallelism: per-core crossover x
+    total cores, capped by the driver-collect ceiling (constants and
+    evidence above; table in BENCH/CALIBRATION.md)."""
+    par = max(1, spark.sparkContext.defaultParallelism)
+    return min(BROADCAST_CENTER_LIMIT_PER_CORE * par, BROADCAST_CENTER_COLLECT_CAP)
 
 
 # a polygon with this many edges concentrates its candidates x edges join
@@ -1080,12 +1099,14 @@ def knn_join_auto(
     n_centers: int | None = None,
 ) -> DataFrame:
     """Size-based chooser between the broadcast-hybrid and partitioned kNN
-    plans (same contract as pip_join_auto). BROADCAST_CENTER_LIMIT is
-    calibrated by `python bench.py --calibration` (BENCH/CALIBRATION.md:
-    the hybrid/partitioned sweep at 10k-500k centers) — regenerate after
+    plans (same contract as pip_join_auto). The routing threshold is
+    parallelism-aware (broadcast_center_limit: per-core crossover x
+    cores, capped by the driver-collect ceiling), calibrated by `python
+    bench.py --calibration` (BENCH/CALIBRATION.md: the hybrid/partitioned
+    sweep at 10k-500k centers, run at two core counts) — regenerate after
     touching either plan."""
     if n_centers is None:
         n_centers = centers.count()
-    if n_centers <= BROADCAST_CENTER_LIMIT:
+    if n_centers <= broadcast_center_limit(centers.sparkSession):
         return knn_join(geotagged, centers, k, n_centers=n_centers)
     return knn_join_partitioned(geotagged, centers, k, n_centers=n_centers)

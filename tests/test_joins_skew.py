@@ -94,6 +94,20 @@ def test_polygon_table_stats_match_actual(spark):
     assert stats["max_edges_per_poly"] == max(per.values())
 
 
+def test_broadcast_center_limit_scales_with_parallelism(spark):
+    """knn_join_auto's routing threshold is per-core x defaultParallelism
+    (the hybrid/partitioned crossover moves ~linearly with cores —
+    BENCH/CALIBRATION.md), capped by the hybrid's driver-collect ceiling."""
+    par = spark.sparkContext.defaultParallelism
+    limit = joins.broadcast_center_limit(spark)
+    assert limit == joins.BROADCAST_CENTER_LIMIT_PER_CORE * par
+    assert limit <= joins.BROADCAST_CENTER_COLLECT_CAP
+    # the measured crossover windows: 8 cores -> limit inside (10k, 50k];
+    # 32 cores -> inside (50k, 120k]
+    assert 10_000 < joins.BROADCAST_CENTER_LIMIT_PER_CORE * 8 <= 50_000
+    assert 50_000 < joins.BROADCAST_CENTER_LIMIT_PER_CORE * 32 <= 120_000
+
+
 def test_pip_grid_deg_calibration():
     assert joins.pip_grid_deg(362_000) == pytest.approx(2.0, rel=0.01)
     assert joins.pip_grid_deg(6_200_000) == pytest.approx(0.484, rel=0.01)
