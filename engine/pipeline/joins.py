@@ -90,17 +90,35 @@ def pip_join(
         )
         .select("url", "lat", "lon", "poly_id")
     )
-    crossings = (
-        candidates.join(F.broadcast(edges), "poly_id")
-        # Non-crossing pairs contribute 0 to the parity sum and pairs with
-        # ZERO crossings are even-parity (filtered below anyway), so they
-        # can be dropped BEFORE the aggregate: the hash aggregate sees only
-        # actual crossings (~#hits) instead of candidates x edges.
-        .filter(F.expr(CROSSING_COND))
-        .groupBy("url", "poly_id")
-        .agg(F.count("*").alias("c"))
+    # r7 restructure (guide §2.3/§2.4): the polygon's edges GROUP into one
+    # array row per poly_id; candidates join 1:1 and the crossing-parity
+    # count is a per-row array kernel (same IEEE CROSSING_COND per edge).
+    # The old plan materialized candidates x edges rows out of the second
+    # broadcast join and fed the survivors through a (url, poly_id) hash
+    # aggregate + exchange; the array form makes the whole query one
+    # map-only pipeline — scan -> bj(cells) -> bj(edge arrays) -> filter —
+    # with ZERO exchanges. Broadcast payload also shrinks: ring_idx is
+    # dropped and poly_id is carried once per polygon instead of per edge.
+    return candidates.join(F.broadcast(_edges_arr(edges)), "poly_id").filter(
+        F.expr(f"{_ARR_PARITY} % 2 = 1")
+    ).select("url", "poly_id")
+
+
+# per-edge crossing test over the grouped edge array — textually the same
+# arithmetic as CROSSING_COND with e.-qualified edge fields
+_ARR_PARITY = (
+    "size(filter(_edges, e -> ((e.y1 > lat) != (e.y2 > lat)) AND "
+    "(lon < e.x1 + (lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1))))"
+)
+
+
+def _edges_arr(edges: DataFrame) -> DataFrame:
+    """(poly_id, _edges array<struct<x1,y1,x2,y2>>) — one row per polygon.
+    collect_list order is nondeterministic, but the only consumer counts
+    matching elements (order-invariant)."""
+    return edges.groupBy("poly_id").agg(
+        F.collect_list(F.struct("x1", "y1", "x2", "y2")).alias("_edges")
     )
-    return crossings.filter(F.col("c") % 2 == 1).select("url", "poly_id")
 
 
 def pip_oracle_sql(with_ctes: str) -> str:
@@ -258,7 +276,20 @@ def broadcast_center_limit(spark) -> int:
     hybrid plan at this session's parallelism: per-core crossover x
     total cores, capped by the driver-collect ceiling (constants and
     evidence above; table in BENCH/CALIBRATION.md)."""
-    par = max(1, spark.sparkContext.defaultParallelism)
+    try:
+        par = max(1, spark.sparkContext.defaultParallelism)
+    except Exception:
+        # Spark Connect sessions expose no sparkContext (ADVICE r6): fall
+        # back to the conf the session was sized with
+        par = max(
+            1,
+            int(
+                spark.conf.get(
+                    "spark.default.parallelism",
+                    spark.conf.get("spark.sql.shuffle.partitions", "8"),
+                )
+            ),
+        )
     return min(BROADCAST_CENTER_LIMIT_PER_CORE * par, BROADCAST_CENTER_COLLECT_CAP)
 
 
@@ -351,6 +382,14 @@ def pip_join_partitioned(
                 .collect()
             ]
             salt_edges = bool(skew_ids)
+    # NOTE (r7): the broadcast pip_join moved to the per-polygon edge-ARRAY
+    # parity kernel, but this partitioned path deliberately keeps the
+    # row-based edge join + (url, poly_id) parity aggregate: grouping a
+    # data-sized edge table with collect_list is an ObjectHashAggregate
+    # (per-group heap buffers, sort-based fallback past the group
+    # threshold) whose GC churn made the 50k/1m bench cases bimodal
+    # (measured 7s warm vs 23-34s under heap pressure), while the row plan
+    # below exchanges the same bytes once and aggregates in UnsafeRow land.
     if salt_edges:
         # selective salting: the skewed-poly list is tiny by construction
         # (mega-polygons), so it broadcasts to tag both join sides
@@ -557,6 +596,46 @@ def knn_bruteforce(geotagged: DataFrame, centers: DataFrame, k: int = 3) -> Data
     return _topk(paired, k).select("url", "poly_id", "dist2", "rank")
 
 
+def _knn_topk_col(k: int, w2_expr: str):
+    """Map-side top-k column over a per-cell candidate ARRAY (guide
+    §2.3/§2.4: shuffle/sort candidate pairs -> per-row array kernel).
+
+    ``_cands`` is array<struct<poly_id, clon, clat>> (all centers whose 3x3
+    neighborhood covers the page's cell, or null when the cell is empty).
+    ``w2_expr`` bounds provability: only candidates with dist2 <= w2 count.
+    ``_topk`` holds the first k in-ball candidates sorted by
+    (dist2, poly_id) — the same total order the old per-url row_number
+    window produced, computed per ROW with no exchange and no partition
+    sort. Exactly ONE column comes back: HOF chains are interpreted (no
+    codegen CSE), so every derived value (the "k-th candidate within w"
+    verify gate = size(_topk) >= k, null array -> size null -> never >= k)
+    must be read off the materialized _topk, not recomputed from _cands.
+    dist2 is the same IEEE double expression as the oracle
+    ((lon-clon)^2 + (lat-clat)^2), evaluated once per candidate."""
+    d2 = (
+        "((lon - c.clon) * (lon - c.clon) + (lat - c.clat) * (lat - c.clat))"
+    )
+    inball = (
+        f"filter(transform(_cands, c -> struct({d2} as dist2, "
+        f"c.poly_id as poly_id)), s -> s.dist2 <= {w2_expr})"
+    )
+    return F.expr(f"slice(array_sort({inball}), 1, {k})").alias("_topk")
+
+
+def _explode_topk(split: DataFrame) -> DataFrame:
+    """(url, _topk array) -> (url, poly_id, dist2, rank): rank is the
+    1-based array position — positions are (dist2, poly_id)-sorted, so this
+    is exactly row_number() over that order."""
+    return split.select(
+        "url", F.posexplode("_topk").alias("_pos", "_s")
+    ).selectExpr(
+        "url",
+        "_s.poly_id as poly_id",
+        "_s.dist2 as dist2",
+        "cast(_pos + 1 as int) as rank",
+    )
+
+
 def knn_join(
     geotagged: DataFrame,
     centers: DataFrame,
@@ -567,27 +646,24 @@ def knn_join(
 ) -> DataFrame:
     """Exact kNN, scale path (B9): cell-neighbor candidate expansion.
 
-    Centers explode into their 3x3 neighborhood on a degree grid and
-    broadcast; pages equi-join on their own cell — a hash join whose
-    candidate count is O(local density), not O(#centers). Any center
-    OUTSIDE the neighborhood is > one cell width away in some axis, so
-    dist2 > cell_deg^2: if a page's k-th candidate beats that bound the
-    top-k is provably exact; the (rare) unverified pages fall back to the
-    brute-force path. Result therefore equals exact kNN — same as the
-    oracle — while scaling as a bounded-fanout equi-join.
+    Centers explode into their 3x3 neighborhood on a degree grid, GROUP
+    into one array row per cell, and broadcast; pages equi-join 1:1 on
+    their own cell and compute the provable top-k per row with array
+    kernels (r7 restructure, guide §2.4): the old plan exploded ~O(density)
+    candidate rows per page and paid a url-keyed EXCHANGE plus a window
+    sort over the whole candidate-pair volume (26M rows at the 50k-center
+    bench point); the array form keeps the candidate set inside the page's
+    row, so the plan is scan -> broadcast hash join -> project, with ZERO
+    exchange before the residue union. Any center OUTSIDE the 3x3
+    neighborhood is > one cell width away in some axis, so dist2 > w^2:
+    if a page has >= k in-ball candidates its top-k is provably exact.
 
-    Pages whose top-k is not provable at a level (k-th candidate beyond
-    the level's bound — e.g. polar pages far from the center band) fall
-    through; the residue is resolved by the VECTORIZED brute-force kernel
-    (knn_join_numpy: broadcast centers, numpy distance matrix, zero
-    shuffle) rather than coarser join levels — the round-1 cascade's wider
-    levels made the 3x3 candidate neighborhood grow quadratically with the
-    width precisely for the sparse pages where candidates are useless,
-    while the residue is exactly the regime the map-only kernel wins
-    (measured: 10-20%% residue x all centers is minutes as a windowed join,
-    seconds as numpy). Exactness is unchanged: both paths produce the
-    oracle's (dist2, poly_id) order. cell_deg defaults to a
-    density-adaptive W targeting a high verify rate at level 1.
+    Pages whose top-k is not provable (fewer than k in-ball candidates —
+    e.g. polar pages far from the center band) fall through; the residue
+    is resolved by the VECTORIZED brute-force kernel (knn_join_numpy:
+    broadcast centers, numpy distance matrix, zero shuffle). Exactness is
+    unchanged: both paths produce the oracle's (dist2, poly_id) order.
+    cell_deg defaults to a density-adaptive W targeting a high verify rate.
     """
     if cell_deg is None:
         if n_centers is None:
@@ -604,55 +680,40 @@ def knn_join(
         pages_c = remaining.withColumn("cx", F.expr(cell % "lon")).withColumn(
             "cy", F.expr(cell % "lat")
         )
-        neigh = (
+        cell_arr = (
             centers.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
             .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
             .selectExpr(
                 "poly_id",
                 "clon",
                 "clat",
-                f"{cell % 'clon'} + di as ncx",
-                f"{cell % 'clat'} + dj as ncy",
+                f"{cell % 'clon'} + di as cx",
+                f"{cell % 'clat'} + dj as cy",
+            )
+            .groupBy("cx", "cy")
+            .agg(
+                F.collect_list(F.struct("poly_id", "clon", "clat")).alias(
+                    "_cands"
+                )
             )
         )
-        # LEFT OUTER join with the w-ball predicate INSIDE the join
-        # condition (not a post-filter): every page emerges with either
-        # its in-ball candidates or exactly one null row, so the pass/
-        # fail routing falls out of the SAME window stage — no anti-join,
-        # no second pass over the page table, no separate pages persist
-        # (the r5 cascade paid a pages persist + a url-keyed anti
-        # exchange per level). In-ball is also exactly the provability
-        # pre-filter: the verify gate demands the k-th candidate within
-        # w, and every center outside the 3x3 is > w away, so dropping
-        # out-of-ball candidates at the probe preserves semantics while
-        # cutting the window input by the w-ball / (3w)^2 area ratio.
-        dist2_e = (
-            "((lon - clon) * (lon - clon) + (lat - clat) * (lat - clat))"
-        )
-        cond = F.expr(f"cx = ncx AND cy = ncy AND {dist2_e} <= {w * w!r}")
-        cand = pages_c.join(F.broadcast(neigh), cond, "left")
-        cand = cand.withColumn("dist2", F.expr(dist2_e))  # null <=> no match
-        w_url = Window.partitionBy("url").orderBy("dist2", "poly_id")
-        wu = Window.partitionBy("url")
-        # _cnt counts NON-NULL candidates (count(col) skips nulls); the
-        # verify gate "k-th candidate within w" is _cnt >= k because every
-        # joined candidate is in-ball by the join condition
+        # collect_list order is nondeterministic, but every consumer sorts
+        # (array_sort by (dist2, poly_id) — a total order, poly_id unique),
+        # so the output is order-invariant. LEFT join: a page over an empty
+        # cell keeps a null array -> _cnt 0 -> residue.
         split = (
-            cand.withColumn("rank", F.row_number().over(w_url))
-            .withColumn("_cnt", F.count("poly_id").over(wu))
-            .filter(F.col("rank") <= k)
-            .select("url", "lat", "lon", "poly_id", "dist2", "rank", "_cnt")
-            # referenced twice (good + remaining); k rows/page max. The
+            pages_c.join(F.broadcast(cell_arr), ["cx", "cy"], "left")
+            .select("url", "lat", "lon", _knn_topk_col(k, repr(w * w)))
+            # referenced twice (good + remaining); <= k structs/page. The
             # caller frees via free_persisted after its terminal action.
+            # The verify gate reads size() off the PERSISTED array, so the
+            # HOF chain runs once per page during materialization.
             .persist()
         )
         frames.append(split)
-        good = split.filter(F.col("_cnt") >= k).select(
-            "url", "poly_id", "dist2", "rank"
-        )
-        resolved.append(good)
+        resolved.append(_explode_topk(split.filter(F.size("_topk") >= k)))
         remaining = split.filter(
-            (F.col("_cnt") < k) & (F.col("rank") == 1)
+            F.coalesce(F.size("_topk"), F.lit(0)) < k
         ).select("url", "lat", "lon")
     out = knn_join_numpy(remaining, centers, k)
     for good in resolved:
@@ -688,6 +749,10 @@ def knn_join_numpy(
     Arithmetic is the same IEEE float64 expression as the SQL oracle.
     """
     rows = centers.select("poly_id", "clon", "clat").collect()
+    # sort by poly_id so the argmin first-minimum tie-break below is a
+    # property of the DATA, not of the center table's scan/file order
+    # (r7: the bulk fixture's multi-file layout no longer guarantees it)
+    rows.sort(key=lambda r: r.poly_id)
     poly_ids = np.array([r.poly_id for r in rows], dtype=np.int64)
     clon = np.array([r.clon for r in rows], dtype=np.float64)
     clat = np.array([r.clat for r in rows], dtype=np.float64)
@@ -899,7 +964,7 @@ def _knn_cell_bound_terminal(
     # k centers lie within sqrt(r2pt) of EVERY page in P (each of those
     # k has pmaxd2 <= r2pt), so any center with pmind2 > r2pt can never
     # enter a top-k — and r2pt <= r2 always (the k cell-bound centers have
-    # pmaxd2 <= r2), so this strictly shrinks the fact-join fanout
+    # pmaxd2 <= r2), so this strictly shrinks the per-cell candidate set
     # (measured 26.8M -> 8.1M candidate pairs on the 50k-center residue:
     # the cell-level bound pays the full (|d|+1)-cell slack twice, the
     # point-level bound only the page-cell diagonal once). Same fusion as
@@ -917,19 +982,29 @@ def _knn_cell_bound_terminal(
         )
         .filter(F.col("pmind2") <= F.col("r2pt"))
         .select("cx", "cy", "poly_id", "clon", "clat", F.col("r2pt").alias("r2"))
+    )
+    # r7 restructure (guide §2.3/§2.4): the candidate centers GROUP into one
+    # array row per page cell (r2pt is per-cell constant -> min() is exact)
+    # replicated per salt, pages join 1:1 on (cell, salt), and the top-k is
+    # a per-row array kernel — the old plan materialized pages x candidates
+    # rows and paid a within-partition window sort over them; now only the
+    # page table and the metadata-sized cell arrays ride the exchange and
+    # nothing is sorted but <= |cands| element arrays per row.
+    tight_arr = (
+        tight.groupBy("cx", "cy")
+        .agg(
+            F.collect_list(F.struct("poly_id", "clon", "clat")).alias("_cands"),
+            F.min("r2").alias("_r2"),
+        )
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     )
     pag_s = pag.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
-    cand = _with_dist2(pag_s.join(tight.hint("shuffle_hash"), ["cx", "cy", "_salt"]))
     # any candidate beyond sqrt(r2pt) is provably outside the top-k (>= k
-    # candidates sit within r2pt), so drop it before the sort
-    cand = cand.filter(F.col("dist2") <= F.col("r2"))
-    wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy("dist2", "poly_id")
-    return (
-        cand.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("url", "poly_id", "dist2", "rank")
+    # candidates sit within r2pt), so the in-ball filter bound is _r2
+    split = pag_s.join(tight_arr.hint("shuffle_hash"), ["cx", "cy", "_salt"]).select(
+        "url", _knn_topk_col(k, "_r2")
     )
+    return _explode_topk(split)
 
 
 def knn_join_partitioned(
@@ -1016,61 +1091,48 @@ def knn_join_partitioned(
                 ]
             )
         )
-        neigh = (
+        # r7 restructure (guide §2.3/§2.4): centers explode into their
+        # neighborhood cells and GROUP into one array row per (cell, salt);
+        # pages join 1:1 on (cx, cy, _salt) — a shuffle hash join whose
+        # wire volume is the page table plus the (metadata-sized) cell
+        # arrays, after which the provable top-k is a per-row array kernel
+        # (_knn_topk_cols). The old plan emitted pages x candidates ROWS
+        # out of the join and paid a within-partition window sort over the
+        # whole candidate-pair volume — the cascade's dominant cost; the
+        # array form never materializes the pairs at all. The shuffle_hash
+        # hint still pins a shuffle join (Catalyst's size estimate would
+        # otherwise broadcast the fact side). In-ball (dist2 <= w^2 inside
+        # the array filter) remains the provability pre-filter; a page
+        # over an empty cell keeps a null array (LEFT join) -> _cnt 0 ->
+        # falls through to the terminal.
+        cell_arr = (
             centers.withColumn("o", off)
-            .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
             .selectExpr(
                 "poly_id",
                 "clon",
                 "clat",
-                "_salt as nsalt",
-                f"{cell % 'clon'} + o.di as ncx",
-                f"{cell % 'clat'} + o.dj as ncy",
+                f"{cell % 'clon'} + o.di as cx",
+                f"{cell % 'clat'} + o.dj as cy",
+            )
+            .groupBy("cx", "cy")
+            .agg(
+                F.collect_list(F.struct("poly_id", "clon", "clat")).alias(
+                    "_cands"
+                )
+            )
+            .withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
             )
         )
-        # LEFT OUTER join with the w-ball predicate INSIDE the join
-        # condition — same restructure as knn_join: every page emerges
-        # with its in-ball candidates or one null row, so pass/fail
-        # routing is a filter on the window output instead of a url-keyed
-        # anti-join re-shuffling the whole page table per level. The
-        # shuffle_hash hint pins the join whose output partitioning is
-        # HashPartitioning(cx, cy, _salt): the windows below reuse it, so
-        # the candidate pairs (the cascade's dominant data volume) never
-        # cross the wire — the top-k is a within-partition sort. (A
-        # broadcast of the page side would leave the stream partitioned
-        # by the center scan instead, forcing that exchange.) In-ball in
-        # the join condition is also the provability pre-filter: only
-        # centers within w can appear in a provable top-k.
-        dist2_e = (
-            "((lon - clon) * (lon - clon) + (lat - clat) * (lat - clat))"
-        )
-        cond = F.expr(
-            f"cx = ncx AND cy = ncy AND _salt = nsalt AND {dist2_e} <= {w * w!r}"
-        )
-        cand = pages_c.join(neigh.hint("shuffle_hash"), cond, "left")
-        cand = cand.withColumn("dist2", F.expr(dist2_e))  # null <=> no match
-        # a url carries exactly ONE (cx, cy, _salt) key; windowing by the
-        # join keys + url lets Catalyst prove the join's partitioning
-        # satisfies the clustered distribution -> no extra exchange.
-        wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy(
-            "dist2", "poly_id"
-        )
-        wu = Window.partitionBy("cx", "cy", "_salt", "url")
         split = (
-            cand.withColumn("rank", F.row_number().over(wk))
-            .withColumn("_cnt", F.count("poly_id").over(wu))
-            .filter(F.col("rank") <= k)
-            .select("url", "lat", "lon", "poly_id", "dist2", "rank", "_cnt")
+            pages_c.join(cell_arr.hint("shuffle_hash"), ["cx", "cy", "_salt"], "left")
+            .select("url", "lat", "lon", _knn_topk_col(k, repr(w * w)))
             .persist()
         )
         frames.append(split)
-        resolved.append(
-            split.filter(F.col("_cnt") >= k).select(
-                "url", "poly_id", "dist2", "rank"
-            )
-        )
+        resolved.append(_explode_topk(split.filter(F.size("_topk") >= k)))
         return split.filter(
-            (F.col("_cnt") < k) & (F.col("rank") == 1)
+            F.coalesce(F.size("_topk"), F.lit(0)) < k
         ).select("url", "lat", "lon")
 
     w = cell_deg

@@ -108,45 +108,6 @@ def _encode_batch(
     )
 
 
-def _encode_batch_gid(
-    pdf: pd.DataFrame,
-    layer_name: str,
-    tag_cols,
-    extent: int,
-) -> pd.DataFrame:
-    """_encode_batch for the compact path's packed-gid input: (gid, qx, qy,
-    feature_id, tags...) with gid = (z << 52) | (x << 26) | y and qx/qy
-    already quantized JVM-side — no per-batch numpy reconstruction, no
-    frame copy, single-column group bounds."""
-    starts = _group_bounds(pdf, ("gid",))
-    counts = np.diff(np.append(starts, len(pdf)))
-    tags = {
-        col: (vt, pdf[col].to_numpy(dtype=object if vt == "string" else None))
-        for col, vt in tag_cols
-    }
-    blobs = fastpoints.encode_point_tiles_sorted(
-        counts,
-        pdf["feature_id"].to_numpy(dtype=np.int64),
-        pdf["qx"].to_numpy(dtype=np.int64),
-        pdf["qy"].to_numpy(dtype=np.int64),
-        tags,
-        layer_name,
-        extent,
-    )
-    gid = pdf["gid"].to_numpy()[starts]
-    mask = (1 << 26) - 1
-    return pd.DataFrame(
-        {
-            "z": pd.array((gid >> 52).astype(np.int32), dtype="int32"),
-            "x": (gid >> 26) & mask,
-            "y": gid & mask,
-            "mvt": blobs,
-            "n_features": counts,
-            "n_bytes": [len(b) for b in blobs],
-        }
-    )
-
-
 def _gid_bounds(gid: np.ndarray) -> np.ndarray:
     """Start offsets of each gid run in a pre-sorted int64 array."""
     change = np.empty(len(gid), dtype=bool)
@@ -177,6 +138,15 @@ def _encode_group_arrow(cols, layer_name, tag_cols, extent):
         if isinstance(arr, np.ndarray):
             tags[c] = (vt, arr)
         elif vt == "string":
+            if arr.null_count:
+                # pre-r6 pandas factorize encoded nulls as a real dictionary
+                # entry; dictionary_encode() leaves null INDICES, which the
+                # int64 cast below would turn into garbage codes — fail
+                # loudly instead of corrupting tag bytes (ADVICE r6)
+                raise ValueError(
+                    "null string tag values are not supported by the Arrow "
+                    "encode path; fill or drop nulls upstream"
+                )
             d = arr.dictionary_encode()
             codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             tags[c] = (vt, (codes, d.dictionary.to_pylist()))
@@ -192,6 +162,13 @@ def _encode_group_arrow(cols, layer_name, tag_cols, extent):
         extent,
     )
     n_tiles = len(tstarts)
+    if len(buf) >= (1 << 31):
+        # pa.binary() offsets are int32; a mega-group past 2 GiB would wrap
+        # silently on the int64->int32 assignment (ADVICE r6)
+        raise ValueError(
+            "encoded tile group exceeds 2 GiB of tile bytes; split the "
+            "group (salted partial encode) before the Arrow batch build"
+        )
     offsets = np.empty(n_tiles + 1, dtype=np.int32)
     offsets[:-1] = tstarts
     offsets[-1] = len(buf)
@@ -409,8 +386,6 @@ def encode_point_tiles_compact(
         raise ValueError("gid packing supports zoom levels 0..25")
     tag_cols = tuple(tag_cols)
     zoomed = df.withColumn("z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max))))
-    cols = ["z", "u", "v", "feature_id"] + [c for c, _ in tag_cols]
-    xe, ye = _tile_xy_exprs()
     # Final-exchange width: more, smaller encode tasks let the Python encode
     # stage overlap shuffle reads and keep each task's Arrow/numpy working
     # set inside an already-faulted arena (same rationale as the 16k batch
@@ -420,36 +395,54 @@ def encode_point_tiles_compact(
     # at 8 cores: 17.5s). Bytes are partitioning-invariant
     # (carry_group_iter completes tile groups).
     n_parts = encode_shuffle_partitions(df.sparkSession)
-    parted = zoomed.select(*cols).repartition(n_parts, F.col("z"), xe, ye)
-    prepared = parted.sortWithinPartitions(F.col("z"), xe, ye, F.col("feature_id"))
-    # Post-shuffle, post-sort JVM projection (same stage, whole-stage
-    # codegen): the derived columns reconstruct from (z, u, v) with the
-    # same IEEE double math the Python stage used to do per batch — and
-    # the Python workers now receive (gid, qx, qy, fid, tags) instead of
-    # (z, u, v, fid, tags) + per-batch numpy reconstruction + a full-frame
-    # pdf.assign copy. Exactness: scale = 2^z * 4096 = 2^(z+12) and
-    # x * 4096 are EXACT doubles, so qx/qy round identically to numpy's
-    # u * scale - x * 4096.0; cast(double as long/int) truncates toward
-    # zero exactly like mvtcodec.geomstream.quantize (non-ANSI Spark cast
-    # == Go's int32() cast, reference marshal.go:190,196). gid packs
-    # (z, x, y) into one int64 (26-bit x/y fields, lexicographic ==
-    # numeric order), halving the python-side group-bound scan columns.
-    # Byte-identity with encode_point_tiles is asserted in
-    # tests/test_tiler_compact.py.
-    scale_e = "(cast(shiftleft(1, z) as double) * 4096.0D)"
-    qx_e = f"cast(u * {scale_e} - cast(_x as double) * 4096.0D as long)"
-    qy_e = f"cast(v * {scale_e} - cast(_y as double) * 4096.0D as long)"
-    projected = (
-        prepared.withColumn("_x", xe)
-        .withColumn("_y", ye)
-        .selectExpr(
-            "shiftleft(cast(z as bigint), 52) + shiftleft(_x, 26) + _y as gid",
-            f"{qx_e} as qx",
-            f"{qy_e} as qy",
-            "feature_id",
-            *[c for c, _ in tag_cols],
+    sel, part_sort, project = _compact_shuffle_exprs(z_max, extent, tag_cols)
+    if sel is not None:
+        # r7 packed-key shuffle (guide §2.3, narrower types): (z, u, v) —
+        # 8+8+8 UnsafeRow bytes — collapse into ONE int64 `packed` =
+        # z . floor(u*2^(z_max+12)) . floor(v*2^(z_max+12)) bit fields,
+        # cutting the pyramid's dominant exchange ~30%/row. Exact: u * 2^B
+        # is an exact double (power-of-two scale), floor(u*2^B) >> (B-z)
+        # == floor(u*2^z) and (uq >> (B-12-z)) - (x << 12) == the old
+        # cast(u*scale - x*4096 as long) for every u in [0, 1] (the
+        # pipeline's with_unit domain; clamps keep the u=1.0 edge
+        # byte-identical too). Fits while 5 + 2*(z_max+13) <= 64, i.e.
+        # z_max <= 16 (and extent 4096); larger zooms take the unpacked
+        # path below. Byte-identity vs encode_point_tiles is asserted in
+        # tests/test_tiler_compact.py at both z ranges.
+        parted = zoomed.selectExpr(*sel).repartition(n_parts, *part_sort[:3])
+        prepared = parted.sortWithinPartitions(*part_sort)
+        projected = prepared.selectExpr(*project)
+    else:
+        cols = ["z", "u", "v", "feature_id"] + [c for c, _ in tag_cols]
+        xe, ye = _tile_xy_exprs()
+        parted = zoomed.select(*cols).repartition(n_parts, F.col("z"), xe, ye)
+        prepared = parted.sortWithinPartitions(
+            F.col("z"), xe, ye, F.col("feature_id")
         )
-    )
+        # Post-shuffle, post-sort JVM projection (same stage, whole-stage
+        # codegen): the derived columns reconstruct from (z, u, v) with the
+        # same IEEE double math the Python stage used to do per batch.
+        # Exactness: scale = 2^z * 4096 = 2^(z+12) and x * 4096 are EXACT
+        # doubles, so qx/qy round identically to numpy's
+        # u * scale - x * 4096.0; cast(double as long/int) truncates toward
+        # zero exactly like mvtcodec.geomstream.quantize (non-ANSI Spark
+        # cast == Go's int32() cast, reference marshal.go:190,196). gid
+        # packs (z, x, y) into one int64 (26-bit x/y fields, lexicographic
+        # == numeric order).
+        scale_e = "(cast(shiftleft(1, z) as double) * 4096.0D)"
+        qx_e = f"cast(u * {scale_e} - cast(_x as double) * 4096.0D as long)"
+        qy_e = f"cast(v * {scale_e} - cast(_y as double) * 4096.0D as long)"
+        projected = (
+            prepared.withColumn("_x", xe)
+            .withColumn("_y", ye)
+            .selectExpr(
+                "shiftleft(cast(z as bigint), 52) + shiftleft(_x, 26) + _y as gid",
+                f"{qx_e} as qx",
+                f"{qy_e} as qy",
+                "feature_id",
+                *[c for c, _ in tag_cols],
+            )
+        )
 
     tag_names = frozenset(c for c, _ in tag_cols)
 
@@ -462,6 +455,82 @@ def encode_point_tiles_compact(
 
     encoded = projected.mapInArrow(encode_iter, ENCODE_SCHEMA)
     return encoded.withColumn("mvt_sha256", F.sha2(F.col("mvt"), 256))
+
+
+def _packed_exprs(z_max: int, extent: int, with_salt: bool):
+    """SQL expression strings for the packed one-int64 shuffle key (r7,
+    guide §2.3): bit fields [salt(6) .] z(5) . uq(B+1) . vq(B+1) with
+    B = z_max + 12, uq = clamp(floor(u * 2^B), 0, 2^B). Returns None when
+    the fields do not fit an int64 (z_max > 16 unsalted / > 10 salted) or
+    extent != 4096; callers fall back to the unpacked (z, u, v) shuffle.
+
+    Exactness (why the derived columns are bit-identical to the unpacked
+    path for u, v in [0, 1], the with_unit domain): u * 2^B is exact
+    (power-of-two scaling of a double), floor(u*2^B) >> (B-z) ==
+    floor(u*2^z) (nested-floor identity with integer divisor), and
+    qx = floor(u*2^(z+12)) - x*4096 == the old cast(u*scale - x*4096.0 as
+    long) because that double subtraction is exact (the difference's
+    significant bits fit a double) and the value is >= 0 so trunc == floor.
+    The clamps reproduce the unpacked path's least/greatest at u = 1.0."""
+    B = z_max + 12
+    if extent != EXTENT or 5 + (6 if with_salt else 0) + 2 * (B + 1) > 64:
+        return None
+    mask = (1 << (B + 1)) - 1
+    f = 1 << B
+    zshift = 2 * (B + 1)
+
+    def q_c(col: str) -> str:
+        return (
+            f"least(cast({f} as bigint), greatest(cast(0 as bigint), "
+            f"cast(floor({col} * cast({f} as double)) as bigint)))"
+        )
+
+    packed = (
+        f"shiftleft(cast(z as bigint), {zshift}) + "
+        f"shiftleft({q_c('u')}, {B + 1}) + {q_c('v')}"
+    )
+    if with_salt:
+        packed = f"shiftleft(_salt, {zshift + 5}) + " + packed
+    z_i = f"cast((shiftright(packed, {zshift}) & 31) as int)"
+    uq = f"(shiftright(packed, {B + 1}) & {mask})"
+    vq = f"(packed & {mask})"
+    x = (
+        f"least(cast(shiftleft(1, {z_i}) as bigint) - 1, "
+        f"shiftright({uq}, {B} - {z_i}))"
+    )
+    y = (
+        f"least(cast(shiftleft(1, {z_i}) as bigint) - 1, "
+        f"shiftright({vq}, {B} - {z_i}))"
+    )
+    qx = f"(shiftright({uq}, {B - 12} - {z_i}) - shiftleft({x}, 12))"
+    qy = f"(shiftright({vq}, {B - 12} - {z_i}) - shiftleft({y}, 12))"
+    gid = f"shiftleft(cast({z_i} as bigint), 52) + shiftleft({x}, 26) + {y}"
+    if with_salt:
+        gid = f"shiftleft(shiftright(packed, {zshift + 5}), 57) + {gid}"
+    return {"packed": packed, "z": z_i, "x": x, "y": y, "qx": qx, "qy": qy,
+            "gid": gid, "salt": f"shiftright(packed, {zshift + 5})"}
+
+
+def _compact_shuffle_exprs(z_max: int, extent: int, tag_cols):
+    """Assembled (select, partition+sort, post-shuffle projection) pieces
+    for encode_point_tiles_compact's packed shuffle; (None, None, None)
+    when packing does not apply."""
+    e = _packed_exprs(z_max, extent, with_salt=False)
+    if e is None:
+        return None, None, None
+    tags = [c for c, _ in tag_cols]
+    sel = [f"{e['packed']} as packed", "feature_id", *tags]
+    part_sort = [
+        F.expr(e["z"]), F.expr(e["x"]), F.expr(e["y"]), F.col("feature_id")
+    ]
+    project = [
+        f"{e['gid']} as gid",
+        f"{e['qx']} as qx",
+        f"{e['qy']} as qy",
+        "feature_id",
+        *tags,
+    ]
+    return sel, part_sort, project
 
 
 def _tile_xy_exprs():
@@ -550,27 +619,52 @@ def encode_point_partials_compact(
     zoomed = df.withColumn(
         "z", F.explode(F.sequence(F.lit(z_min), F.lit(z_max)))
     ).withColumn("_salt", _zoom_salt_expr(n_salt))
-    cols = ["z", "u", "v", "feature_id", "_salt"] + [c for c, _ in tag_cols]
-    xe, ye = _tile_xy_exprs()
-    parted = zoomed.select(*cols).repartition(F.col("z"), xe, ye, F.col("_salt"))
-    prepared = parted.sortWithinPartitions(
-        F.col("z"), xe, ye, F.col("_salt"), F.col("feature_id")
-    )
-    scale_e = "(cast(shiftleft(1, z) as double) * 4096.0D)"
-    qx_e = f"cast(u * {scale_e} - cast(_x as double) * 4096.0D as long)"
-    qy_e = f"cast(v * {scale_e} - cast(_y as double) * 4096.0D as long)"
-    projected = (
-        prepared.withColumn("_x", xe)
-        .withColumn("_y", ye)
-        .selectExpr(
-            "shiftleft(_salt, 57) + shiftleft(cast(z as bigint), 52)"
-            " + shiftleft(_x, 26) + _y as gid",
-            f"{qx_e} as qx",
-            f"{qy_e} as qy",
-            "feature_id",
-            *[c for c, _ in tag_cols],
+    tags = [c for c, _ in tag_cols]
+    e = _packed_exprs(z_max, extent, with_salt=True)
+    if e is not None:
+        # r7 packed-key salted shuffle — same one-int64 collapse (and the
+        # same exactness argument) as encode_point_tiles_compact, with the
+        # salt in the top bit field; see _packed_exprs.
+        parted = zoomed.selectExpr(
+            f"{e['packed']} as packed", "feature_id", *tags
+        ).repartition(
+            F.expr(e["z"]), F.expr(e["x"]), F.expr(e["y"]), F.expr(e["salt"])
         )
-    )
+        prepared = parted.sortWithinPartitions(
+            F.expr(e["z"]), F.expr(e["x"]), F.expr(e["y"]),
+            F.expr(e["salt"]), F.col("feature_id"),
+        )
+        projected = prepared.selectExpr(
+            f"{e['gid']} as gid",
+            f"{e['qx']} as qx",
+            f"{e['qy']} as qy",
+            "feature_id",
+            *tags,
+        )
+    else:
+        cols = ["z", "u", "v", "feature_id", "_salt"] + tags
+        xe, ye = _tile_xy_exprs()
+        parted = zoomed.select(*cols).repartition(
+            F.col("z"), xe, ye, F.col("_salt")
+        )
+        prepared = parted.sortWithinPartitions(
+            F.col("z"), xe, ye, F.col("_salt"), F.col("feature_id")
+        )
+        scale_e = "(cast(shiftleft(1, z) as double) * 4096.0D)"
+        qx_e = f"cast(u * {scale_e} - cast(_x as double) * 4096.0D as long)"
+        qy_e = f"cast(v * {scale_e} - cast(_y as double) * 4096.0D as long)"
+        projected = (
+            prepared.withColumn("_x", xe)
+            .withColumn("_y", ye)
+            .selectExpr(
+                "shiftleft(_salt, 57) + shiftleft(cast(z as bigint), 52)"
+                " + shiftleft(_x, 26) + _y as gid",
+                f"{qx_e} as qx",
+                f"{qy_e} as qy",
+                "feature_id",
+                *tags,
+            )
+        )
     tag_names = frozenset(c for c, _ in tag_cols)
 
     def encode_iter(batches):
@@ -600,6 +694,15 @@ def _encode_partials_group_arrow(cols, tag_cols):
         if isinstance(arr, np.ndarray):
             tags[c] = (vt, arr)
         elif vt == "string":
+            if arr.null_count:
+                # pre-r6 pandas factorize encoded nulls as a real dictionary
+                # entry; dictionary_encode() leaves null INDICES, which the
+                # int64 cast below would turn into garbage codes — fail
+                # loudly instead of corrupting tag bytes (ADVICE r6)
+                raise ValueError(
+                    "null string tag values are not supported by the Arrow "
+                    "encode path; fill or drop nulls upstream"
+                )
             d = arr.dictionary_encode()
             codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             tags[c] = (vt, (codes, d.dictionary.to_pylist()))

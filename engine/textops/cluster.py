@@ -90,16 +90,27 @@ def _hash_min_labels(
     # (persist() caches execution but not analysis). On a real cluster use
     # a reliable checkpoint dir for fault tolerance; the loop shape is
     # identical.
-    labels = nodes.selectExpr("doc_id", "doc_id as label").localCheckpoint()
+    #
+    # r7: round 1 is fused — with identity labels, msgs == the edge list
+    # itself (label of dst IS dst), so the first round needs no join and
+    # the identity table needs no checkpoint of its own: one union + one
+    # min-aggregate replaces checkpoint + join + union + aggregate. Every
+    # later round is unchanged.
+    labels = None
     prev = None
     converged = False
     for _ in range(max_iters):
-        msgs = edges.join(
-            labels.selectExpr("doc_id as dst", "label"), "dst"
-        ).selectExpr("src as doc_id", "label")
+        if labels is None:
+            base = nodes.selectExpr("doc_id", "doc_id as label").unionByName(
+                edges.selectExpr("src as doc_id", "dst as label")
+            )
+        else:
+            msgs = edges.join(
+                labels.selectExpr("doc_id as dst", "label"), "dst"
+            ).selectExpr("src as doc_id", "label")
+            base = labels.unionByName(msgs)
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
+            base.groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
@@ -107,7 +118,8 @@ def _hash_min_labels(
         # new_labels is materialized (eager checkpoint + the probe), so the
         # superseded round's blocks can be dropped now instead of lingering
         # until ContextCleaner GC
-        _free_local_checkpoint(labels)
+        if labels is not None:
+            _free_local_checkpoint(labels)
         labels = new_labels
         if sig == prev:  # sum(labels) strictly decreases until fixpoint
             converged = True

@@ -167,7 +167,49 @@ def near_dup_pairs_sql(dialect: str, threshold: float = 0.5) -> str:
     """LSH candidates verified by exact shingle Jaccard >= threshold.
 
     jaccard = |A n B| / |A u B| with integer set sizes -> exact double.
+
+    The Spark text is restructured (r7, guide §2.4 remove repeated passes):
+    Spark inlines WITH CTEs, so the original template recomputed the
+    shingle pipeline (split + explode + sha256 + distinct) FOUR times —
+    once each under minhash, sizes, and the two intersection scans. The
+    Spark variant folds minhash + sizes + the per-doc shingle set into ONE
+    aggregate (msz); its three consumers are plan-identical, so Spark's
+    exchange reuse computes the shingle scan once, and |A n B| becomes
+    size(array_intersect(...)) over the (distinct) per-doc shingle arrays.
+    Results are identical: cand pairs are unchanged, intersect size over
+    distinct sets equals the old matching-h join count, and a 0-common
+    pair fails jaccard >= threshold exactly as it vanished from the old
+    inner join (threshold > 0). The DuckDB text (the frozen oracle) is
+    byte-for-byte the original.
     """
+    if dialect == "spark":
+        mins = ", ".join(
+            f"min(({a} * h + {b}) % {P31}) AS m{j}"
+            for j, (a, b) in enumerate(minhash_params(16))
+        )
+        band_keys = ", ".join(
+            "{i}, concat_ws(',', {cols})".format(
+                i=i, cols=", ".join(f"m{i * 4 + r}" for r in range(4))
+            )
+            for i in range(4)
+        )
+        jac = "CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)"
+        return (
+            f"WITH {docs_aug_cte(dialect)}, {shingles_cte(dialect)}, "
+            f"msz AS (SELECT doc_id, {mins}, COUNT(*) AS n, "
+            "collect_list(h) AS hs FROM shingles GROUP BY doc_id), "
+            f"bands AS (SELECT doc_id, stack(4, {band_keys}) AS (band, band_key) FROM msz), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+            "AND a.doc_id < b.doc_id), "
+            "inter AS (SELECT c.doc_a, c.doc_b, "
+            "size(array_intersect(za.hs, zb.hs)) AS n_common, "
+            "za.n AS na, zb.n AS nb "
+            "FROM cand c JOIN msz za ON za.doc_id = c.doc_a "
+            "JOIN msz zb ON zb.doc_id = c.doc_b) "
+            f"SELECT doc_a, doc_b, {jac} AS jaccard "
+            f"FROM inter WHERE {jac} >= {threshold}"
+        )
     return (
         f"WITH {docs_aug_cte(dialect)}, {shingles_cte(dialect)}, "
         f"{minhash_sig_cte(dialect)}, "
