@@ -982,29 +982,27 @@ def _knn_cell_bound_terminal(
         )
         .filter(F.col("pmind2") <= F.col("r2pt"))
         .select("cx", "cy", "poly_id", "clon", "clat", F.col("r2pt").alias("r2"))
-    )
-    # r7 restructure (guide §2.3/§2.4): the candidate centers GROUP into one
-    # array row per page cell (r2pt is per-cell constant -> min() is exact)
-    # replicated per salt, pages join 1:1 on (cell, salt), and the top-k is
-    # a per-row array kernel — the old plan materialized pages x candidates
-    # rows and paid a within-partition window sort over them; now only the
-    # page table and the metadata-sized cell arrays ride the exchange and
-    # nothing is sorted but <= |cands| element arrays per row.
-    tight_arr = (
-        tight.groupBy("cx", "cy")
-        .agg(
-            F.collect_list(F.struct("poly_id", "clon", "clat")).alias("_cands"),
-            F.min("r2").alias("_r2"),
-        )
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     )
+    # NOTE (r7): the broadcast knn_join moved to per-cell candidate ARRAYS,
+    # but this terminal (and the partitioned levels) keeps the window form:
+    # the pairs are already co-partitioned by the shuffle-hash join, so the
+    # top-k is a codegen'd LOCAL sort with no exchange, and replacing it
+    # with interpreted array kernels measured ~25% SLOWER at the 50k-center
+    # bench point (ABBA-isolated 12.4s vs 9.6s) - the HOF interpreter costs
+    # more than the in-partition sort it removes when nothing crosses the
+    # wire either way.
     pag_s = pag.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+    cand = _with_dist2(pag_s.join(tight.hint("shuffle_hash"), ["cx", "cy", "_salt"]))
     # any candidate beyond sqrt(r2pt) is provably outside the top-k (>= k
-    # candidates sit within r2pt), so the in-ball filter bound is _r2
-    split = pag_s.join(tight_arr.hint("shuffle_hash"), ["cx", "cy", "_salt"]).select(
-        "url", _knn_topk_col(k, "_r2")
+    # candidates sit within r2pt), so drop it before the sort
+    cand = cand.filter(F.col("dist2") <= F.col("r2"))
+    wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy("dist2", "poly_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("url", "poly_id", "dist2", "rank")
     )
-    return _explode_topk(split)
 
 
 def knn_join_partitioned(
@@ -1091,48 +1089,61 @@ def knn_join_partitioned(
                 ]
             )
         )
-        # r7 restructure (guide §2.3/§2.4): centers explode into their
-        # neighborhood cells and GROUP into one array row per (cell, salt);
-        # pages join 1:1 on (cx, cy, _salt) — a shuffle hash join whose
-        # wire volume is the page table plus the (metadata-sized) cell
-        # arrays, after which the provable top-k is a per-row array kernel
-        # (_knn_topk_cols). The old plan emitted pages x candidates ROWS
-        # out of the join and paid a within-partition window sort over the
-        # whole candidate-pair volume — the cascade's dominant cost; the
-        # array form never materializes the pairs at all. The shuffle_hash
-        # hint still pins a shuffle join (Catalyst's size estimate would
-        # otherwise broadcast the fact side). In-ball (dist2 <= w^2 inside
-        # the array filter) remains the provability pre-filter; a page
-        # over an empty cell keeps a null array (LEFT join) -> _cnt 0 ->
-        # falls through to the terminal.
-        cell_arr = (
+        neigh = (
             centers.withColumn("o", off)
+            .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
             .selectExpr(
                 "poly_id",
                 "clon",
                 "clat",
-                f"{cell % 'clon'} + o.di as cx",
-                f"{cell % 'clat'} + o.dj as cy",
-            )
-            .groupBy("cx", "cy")
-            .agg(
-                F.collect_list(F.struct("poly_id", "clon", "clat")).alias(
-                    "_cands"
-                )
-            )
-            .withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+                "_salt as nsalt",
+                f"{cell % 'clon'} + o.di as ncx",
+                f"{cell % 'clat'} + o.dj as ncy",
             )
         )
+        # LEFT OUTER join with the w-ball predicate INSIDE the join
+        # condition — same restructure as knn_join: every page emerges
+        # with its in-ball candidates or one null row, so pass/fail
+        # routing is a filter on the window output instead of a url-keyed
+        # anti-join re-shuffling the whole page table per level. The
+        # shuffle_hash hint pins the join whose output partitioning is
+        # HashPartitioning(cx, cy, _salt): the windows below reuse it, so
+        # the candidate pairs (the cascade's dominant data volume) never
+        # cross the wire — the top-k is a within-partition sort. (A
+        # broadcast of the page side would leave the stream partitioned
+        # by the center scan instead, forcing that exchange.) In-ball in
+        # the join condition is also the provability pre-filter: only
+        # centers within w can appear in a provable top-k.
+        dist2_e = (
+            "((lon - clon) * (lon - clon) + (lat - clat) * (lat - clat))"
+        )
+        cond = F.expr(
+            f"cx = ncx AND cy = ncy AND _salt = nsalt AND {dist2_e} <= {w * w!r}"
+        )
+        cand = pages_c.join(neigh.hint("shuffle_hash"), cond, "left")
+        cand = cand.withColumn("dist2", F.expr(dist2_e))  # null <=> no match
+        # a url carries exactly ONE (cx, cy, _salt) key; windowing by the
+        # join keys + url lets Catalyst prove the join's partitioning
+        # satisfies the clustered distribution -> no extra exchange.
+        wk = Window.partitionBy("cx", "cy", "_salt", "url").orderBy(
+            "dist2", "poly_id"
+        )
+        wu = Window.partitionBy("cx", "cy", "_salt", "url")
         split = (
-            pages_c.join(cell_arr.hint("shuffle_hash"), ["cx", "cy", "_salt"], "left")
-            .select("url", "lat", "lon", _knn_topk_col(k, repr(w * w)))
+            cand.withColumn("rank", F.row_number().over(wk))
+            .withColumn("_cnt", F.count("poly_id").over(wu))
+            .filter(F.col("rank") <= k)
+            .select("url", "lat", "lon", "poly_id", "dist2", "rank", "_cnt")
             .persist()
         )
         frames.append(split)
-        resolved.append(_explode_topk(split.filter(F.size("_topk") >= k)))
+        resolved.append(
+            split.filter(F.col("_cnt") >= k).select(
+                "url", "poly_id", "dist2", "rank"
+            )
+        )
         return split.filter(
-            F.coalesce(F.size("_topk"), F.lit(0)) < k
+            (F.col("_cnt") < k) & (F.col("rank") == 1)
         ).select("url", "lat", "lon")
 
     w = cell_deg
