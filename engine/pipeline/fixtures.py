@@ -314,18 +314,19 @@ def polygon_centers_cte(n_polys: int, alias: str = "poly_centers") -> str:
 import os as _os
 
 FIXTURE_CACHE = _os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_fixtures")
-# v2 (r7): 32 output files instead of 4 — the 6.2M-edge dimension table in
-# 4 files capped every scan feeding its aggregates/joins/broadcast builds
-# at 4 tasks (guide §6: input split floor); content is byte-identical
-# (deterministic generators), only the file layout changes.
-EDGE_FIXTURE_VERSION = "v2-seed42"
+# NOTE (r7): a 32-file layout was tried (hypothesis: 4 files cap the
+# dimension-side scans at 4 tasks, guide §6) and REVERTED on measurement —
+# every big-dim bench case got 0.9-1.5s slower (small-file scheduling
+# overhead and lost locality beat the extra scan parallelism at these
+# dimension-table sizes). Kept at 4 files, the r6 layout.
+EDGE_FIXTURE_VERSION = "v1-seed42"
 
 
 def _cached_parquet(spark, path: str, build_pdf):
     if not _os.path.exists(path):
         _os.makedirs(FIXTURE_CACHE, exist_ok=True)
         tmp = f"{path}.tmp-{_os.getpid()}"
-        spark.createDataFrame(build_pdf()).repartition(32).write.mode(
+        spark.createDataFrame(build_pdf()).coalesce(4).write.mode(
             "overwrite"
         ).parquet(tmp)
         try:
