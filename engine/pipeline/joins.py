@@ -1173,7 +1173,24 @@ def knn_join_partitioned(
     # loop, no cartesian fallback, and the plan stays fully lazy. The bound
     # grid is coarser than the fine level (its pcells x ccells bound table
     # must stay metadata-sized even for plane-covering page sets).
-    term_c = max(2.0 * cell_deg, 4.0)
+    #
+    # r7 width calibration (guide §1/§2): the residue is the SPARSE page
+    # set (pages far from any center), whose k-th-neighbor distance scales
+    # like n_centers^-1/2 — when the bound grid is much finer than that
+    # scale, the terminal pays extra bound-window cells and candidate
+    # replication for radii it cannot tighten. ABBA-alternated sweep at
+    # local[32] sf0.1 (min/med of 3, same session, order-balanced):
+    # 50k centers: c=4 8.68/8.84s, c=6 7.57/7.89s (c=2 35s, c=3 13s —
+    # finer explodes the bound table); 200k: c=4 12.75 vs c=6 13.72;
+    # 500k: c=4 19.1 vs c=6 23.5 — so the optimum tracks ~sqrt(1/n),
+    # anchored at the 50k point (6 deg), capped at 6 so the 10k
+    # calibration point keeps its measured 2*cell_deg width, and floored
+    # by the old max(2*cell_deg, 4) for center tables past ~450k.
+    term_c = max(
+        2.0 * cell_deg,
+        4.0,
+        min(6.0, (1_800_000.0 / max(n_centers, 1)) ** 0.5),
+    )
     out = _knn_cell_bound_terminal(remaining, centers, k, term_c, n_salt)
     for good in resolved:
         out = out.unionByName(good)
